@@ -1,0 +1,239 @@
+"""The KLE (Kinematic Laplacian Equation) system: K u = Rw w + lifting.
+
+Re-design of the reference's sparse-assembled KLE matrices with
+Dirichlet-row elimination (/root/reference/src/cases/base_problem.py:
+456-552 FreeSlip, :300-454 NoSlipFreeSlip; matrices/mat_generator.py).
+
+Instead of assembling K with eliminated rows/columns plus a Krhs lifting
+matrix, we keep the FULL (unconstrained) elemental operators and express
+constraints with a per-dof mask P (1 = free, 0 = constrained):
+
+    K_masked(u) = P K(P u) + (I-P) u                 (identity on BC rows)
+    rhs         = P (Rw w - K ((I-P) u_bc)) + (I-P) u_bc
+
+which is algebraically identical to the reference's
+  K <- K[free,free] + I[bc,bc],  Krhs <- -K[free,bc] + I[bc,bc]
+construction (base_problem.py:499-552), but needs no special assembly and
+jit-compiles to fused masked GEMMs. The two-stage no-slip/free-slip solve
+(base_problem.py:321-327) is the same operator with two different masks.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynama_tpu.elements.spectral import SpectralElement
+from pynama_tpu.mesh.structured import BoxMesh
+from pynama_tpu.ops.assembly import ElementOp, make_element_op
+from pynama_tpu.solvers.cg import CGResult, cg_solve
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KLESystem:
+    """Velocity-recovery system: masked SPD solve via CG.
+
+    K:   ElementOp vel->vel (full, unconstrained vector-Laplacian+penalty)
+    Rw:  ElementOp vort->vel
+    Rd:  ElementOp scalar->vel (divergence-penalty RHS; API parity)
+    diag_K: assembled diagonal of K (for Jacobi preconditioning)
+    """
+
+    K: ElementOp
+    Rw: ElementOp
+    Rd: ElementOp
+    diag_K: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.K, self.Rw, self.Rd, self.diag_K), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- masked operator ------------------------------------------------
+    def apply_masked(self, u, free_mask):
+        return free_mask * self.K(free_mask * u) + (1.0 - free_mask) * u
+
+    def rhs(self, vort, u_bc, free_mask):
+        """P (Rw w - K (I-P) u_bc) + (I-P) u_bc."""
+        bc_part = (1.0 - free_mask) * u_bc
+        return free_mask * (self.Rw(vort) - self.K(bc_part)) + bc_part
+
+    def jacobi_inv(self, free_mask):
+        d = free_mask * self.diag_K + (1.0 - free_mask)
+        return 1.0 / d
+
+    def solve(
+        self,
+        vort,
+        u_bc,
+        free_mask,
+        x0: Optional[jnp.ndarray] = None,
+        rtol: float = 1e-13,
+        atol: float = 0.0,
+        maxiter: int = 20000,
+        restarts: int = 2,
+        dot=jnp.dot,
+    ) -> CGResult:
+        """Solve the KLE for velocity given vorticity and BC values.
+
+        Parity: FreeSlip.solveKLE (base_problem.py:479-481). ``restarts``
+        re-runs CG from the converged iterate with a freshly computed
+        residual (iterative refinement), recovering the last digits lost
+        to the recursive residual update — needed to match the direct-LU
+        accuracy of the reference (test_solver.py:26).
+        """
+        b = self.rhs(vort, u_bc, free_mask)
+        if x0 is None:
+            x0 = (1.0 - free_mask) * u_bc
+        else:
+            x0 = free_mask * x0 + (1.0 - free_mask) * u_bc
+        apply_A = partial(self.apply_masked, free_mask=free_mask)
+        m_inv = self.jacobi_inv(free_mask)
+        total_iters = 0
+        res = None
+        for _ in range(max(1, restarts)):
+            res = cg_solve(
+                apply_A, b, x0=x0, m_inv=m_inv,
+                rtol=rtol, atol=atol, maxiter=maxiter, dot=dot,
+            )
+            x0 = res.x
+            total_iters += res.iters
+        return CGResult(x=res.x, iters=total_iters, resnorm=res.resnorm)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class ProjectionOperators:
+    """Mass-lumped nodal projection operators Curl, SrT, DivSrT.
+
+    Each is an ElementOp followed by division with the assembled lumped
+    weight vector — the TPU equivalent of the reference's
+    diagonalScale(1/weights) row scaling (mat_generator.py:172-190).
+    """
+
+    Curl: ElementOp
+    SrT: ElementOp
+    DivSrT: ElementOp
+    w_curl: jnp.ndarray   # (n_nodes*dim_w,)
+    w_srt: jnp.ndarray    # (n_nodes*dim_s,)
+    w_div: jnp.ndarray    # (n_nodes*dim,)
+
+    def tree_flatten(self):
+        return (self.Curl, self.SrT, self.DivSrT, self.w_curl, self.w_srt, self.w_div), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def curl(self, vel):
+        return self.Curl(vel) / self.w_curl
+
+    def strain_rate(self, vel):
+        return self.SrT(vel) / self.w_srt
+
+    def div_srt(self, s):
+        return self.DivSrT(s) / self.w_div
+
+
+def v_tens_v(vel, dim):
+    """Pointwise symmetric u (x) u in dim_s interleaved components.
+
+    Parity: base_problem.py:234-252 (computeVtensV).
+    2D: [vx^2, vx vy, vy^2]; 3D adds [vy vz, vz^2, vz vx].
+    """
+    v = vel.reshape(-1, dim)
+    if dim == 2:
+        comps = [v[:, 0] * v[:, 0], v[:, 0] * v[:, 1], v[:, 1] * v[:, 1]]
+    else:
+        comps = [
+            v[:, 0] * v[:, 0],
+            v[:, 0] * v[:, 1],
+            v[:, 1] * v[:, 1],
+            v[:, 1] * v[:, 2],
+            v[:, 2] * v[:, 2],
+            v[:, 2] * v[:, 0],
+        ]
+    return jnp.stack(comps, axis=1).reshape(-1)
+
+
+def ns_rhs(system_ops: ProjectionOperators, vel, mu, rho, dim):
+    """Vorticity transport RHS: Curl(Div(2 mu S - rho u(x)u) / rho).
+
+    Parity: base_problem.py:212-232 (evalRHS).
+    """
+    aux = 2.0 * mu * system_ops.strain_rate(vel)
+    aux = aux - rho * v_tens_v(vel, dim)
+    r = system_ops.div_srt(aux) / rho
+    return system_ops.curl(r)
+
+
+# ----------------------------------------------------------------------
+# builders
+# ----------------------------------------------------------------------
+def build_kle_system(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
+    """Assemble the matrix-free KLE system for a mesh.
+
+    On uniform meshes the elemental matrices are computed once for cell 0
+    and shared (the reference does the same for operators and the no-slip
+    K, base_problem.py:133-137,333-337).
+    """
+    dim, dim_w = mesh.dim, mesh.dim_w
+    vdofs = mesh.cell_dofs(dim)
+    wdofs = mesh.cell_dofs(dim_w)
+    sdofs = mesh.cell2node
+    n_vel = mesh.n_nodes * dim
+
+    if mesh.uniform:
+        K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners[0])
+    else:
+        K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners)
+
+    K = make_element_op(K_el, vdofs, vdofs, n_vel, dtype)
+    Rw = make_element_op(Rw_el, wdofs, vdofs, n_vel, dtype)
+    Rd = make_element_op(Rd_el, sdofs, vdofs, n_vel, dtype)
+    return KLESystem(K=K, Rw=Rw, Rd=Rd, diag_K=K.diagonal())
+
+
+def build_operators(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
+    """Assemble the nodal projection operators.
+
+    Parity: base_problem.py:132-140 (buildOperators) +
+    mat_generator.py:157-190 (Operators.setValues/assembleAll).
+    """
+    dim, dim_w, dim_s = mesh.dim, mesh.dim_w, mesh.dim_s
+    vdofs = mesh.cell_dofs(dim)
+    wdofs = mesh.cell_dofs(dim_w)
+    sdofs = mesh.cell_dofs(dim_s)
+    n = mesh.n_nodes
+
+    if mesh.uniform:
+        SrT_el, Div_el, Curl_el, wvec_el = elem.kle_operators(mesh.cell_corners[0])
+        wvec_el = np.broadcast_to(wvec_el, (mesh.n_cells, elem.nnode))
+    else:
+        SrT_el, Div_el, Curl_el, wvec_el = elem.kle_operators(mesh.cell_corners)
+
+    Curl = make_element_op(Curl_el, vdofs, wdofs, n * dim_w, dtype)
+    SrT = make_element_op(SrT_el, vdofs, sdofs, n * dim_s, dtype)
+    Div = make_element_op(Div_el, sdofs, vdofs, n * dim, dtype)
+
+    # assembled lumped node weights, then expanded per dof family
+    w_node = np.zeros(n)
+    np.add.at(w_node, np.asarray(mesh.cell2node).reshape(-1), np.asarray(wvec_el).reshape(-1))
+
+    def expand(k):
+        return jnp.asarray(np.repeat(w_node, k), dtype=dtype)
+
+    return ProjectionOperators(
+        Curl=Curl,
+        SrT=SrT,
+        DivSrT=Div,
+        w_curl=expand(dim_w),
+        w_srt=expand(dim_s),
+        w_div=expand(dim),
+    )

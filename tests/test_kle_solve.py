@@ -1,0 +1,91 @@
+"""End-to-end KLE solve gates.
+
+Parity targets from the reference test suite
+(/root/reference/src/tests/test_solver.py):
+  * uniform flow 2D:  ||u - u_exact||_2 < 1e-12   (:26)
+  * uniform flow 3D:  ||u - u_exact||_2 < 2e-13   (:61)
+  * Taylor-Green ngl=11 on 2x2: ||u - u_exact||_2 < 2e-8  (:36)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pynama_tpu.elements.spectral import SpectralElement
+from pynama_tpu.kle import build_kle_system, build_operators, v_tens_v
+from pynama_tpu.mesh.structured import BoxMesh
+
+
+def dirichlet_mask(mesh):
+    """Free mask with every boundary-node dof constrained (FreeSlip case)."""
+    mask = np.ones(mesh.n_nodes * mesh.dim)
+    mask[mesh.node_dofs(mesh.boundary_nodes, mesh.dim)] = 0.0
+    return jnp.asarray(mask)
+
+
+def test_uniform_flow_2d():
+    mesh = BoxMesh(nelem=(10, 10), lower=(0, 0), upper=(1, 1), ngl=3)
+    elem = SpectralElement(3, 2)
+    sys = build_kle_system(mesh, elem)
+    mask = dirichlet_mask(mesh)
+
+    u_bc = np.zeros(mesh.n_nodes * 2)
+    u_bc[0::2] = 1.0  # constant [1, 0] (only boundary values are read)
+    vort = jnp.zeros(mesh.n_nodes)
+
+    res = sys.solve(vort, jnp.asarray(u_bc), mask, rtol=1e-14, maxiter=5000)
+    exact = np.zeros(mesh.n_nodes * 2)
+    exact[0::2] = 1.0
+    err = np.linalg.norm(np.asarray(res.x) - exact)
+    assert err < 1e-12, (err, int(res.iters))
+
+
+def test_uniform_flow_3d():
+    mesh = BoxMesh(nelem=(3, 3, 3), lower=(0, 0, 0), upper=(1, 1, 1), ngl=3)
+    elem = SpectralElement(3, 3)
+    sys = build_kle_system(mesh, elem)
+    mask = dirichlet_mask(mesh)
+
+    u_bc = np.zeros(mesh.n_nodes * 3)
+    u_bc[0::3] = 1.0
+    vort = jnp.zeros(mesh.n_nodes * 3)
+
+    res = sys.solve(vort, jnp.asarray(u_bc), mask, rtol=1e-14, maxiter=8000)
+    exact = np.zeros(mesh.n_nodes * 3)
+    exact[0::3] = 1.0
+    err = np.linalg.norm(np.asarray(res.x) - exact)
+    assert err < 2e-13, (err, int(res.iters))
+
+
+def taylor_green_2d(coords, nu, t):
+    x = 2 * np.pi * coords[:, 0]
+    y = 2 * np.pi * coords[:, 1]
+    expo = np.exp(-8 * np.pi**2 * nu * t)
+    vel = np.stack([np.cos(x) * np.sin(y), -np.sin(x) * np.cos(y)], axis=1) * expo
+    vort = -4 * np.pi * np.cos(x) * np.cos(y) * expo
+    return vel, vort
+
+
+def test_taylor_green_kle_ngl11():
+    nu = 0.01 / 0.5
+    mesh = BoxMesh(nelem=(2, 2), lower=(0, 0), upper=(1, 1), ngl=11)
+    elem = SpectralElement(11, 2)
+    sys = build_kle_system(mesh, elem)
+    mask = dirichlet_mask(mesh)
+
+    t = 0.0
+    vel_exact, vort_exact = taylor_green_2d(mesh.coords, nu, t)
+    u_bc = vel_exact.reshape(-1).copy()
+
+    res = sys.solve(
+        jnp.asarray(vort_exact), jnp.asarray(u_bc), mask, rtol=1e-14, maxiter=30000
+    )
+    err = np.linalg.norm(np.asarray(res.x) - vel_exact.reshape(-1))
+    assert err < 2e-8, (err, int(res.iters))
+
+
+def test_v_tens_v():
+    """Parity: /root/reference/src/tests/test_solver.py:64-86."""
+    vel = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0]))  # two nodes 2D
+    out = np.asarray(v_tens_v(vel, 2))
+    np.testing.assert_allclose(out, [1.0, 2.0, 4.0, 9.0, 12.0, 16.0])

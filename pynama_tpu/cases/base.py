@@ -1,0 +1,204 @@
+"""Problem orchestration: setup -> KLE solve -> transient run.
+
+Re-design of /root/reference/src/cases/base_problem.py (BaseProblem /
+FreeSlip / NoSlipFreeSlip). The reference wires PETSc Mats, KSP and TS
+together imperatively; here each problem builds pure jittable functions
+(KLE solve, transport RHS) over pytree state, and the adaptive BS5(4)
+stepper advances the vorticity.
+
+Config schema matches the reference YAML cases
+(/root/reference/src/cases/*.yaml): name, material-properties {rho, mu},
+domain {ngl, box-mesh {nelem, lower, upper}}, time-solver {start-time,
+end-time, max-steps}, boundary-conditions {...}.
+"""
+
+import logging
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynama_tpu.elements.spectral import SpectralElement
+from pynama_tpu.kle import (
+    build_kle_system,
+    build_operators,
+    ns_rhs,
+)
+from pynama_tpu.mesh.structured import BoxMesh
+from pynama_tpu.solvers.rk import integrate, make_bs5_stepper
+
+logger = logging.getLogger("pynama_tpu")
+
+
+class BaseProblem:
+    """Shared setup/orchestration.
+
+    Parity: BaseProblem (base_problem.py:17-298).
+    """
+
+    def __init__(self, config, dtype=jnp.float64, **overrides):
+        self.config = config
+        self.dtype = dtype
+        self.name = config.get("name", "case")
+
+        domain = config.get("domain", {})
+        box = domain.get("box-mesh", domain)  # some reference yamls are flat
+        self.nelem = tuple(overrides.get("nelem", box["nelem"]))
+        self.lower = tuple(_eval_seq(box.get("lower", (0,) * len(self.nelem))))
+        self.upper = tuple(_eval_seq(box.get("upper", (1,) * len(self.nelem))))
+        self.ngl = int(overrides.get("ngl", domain["ngl"]))
+        self.dim = len(self.nelem)
+        self.dim_w = 1 if self.dim == 2 else 3
+        self.dim_s = 3 if self.dim == 2 else 6
+
+        mat = config.get("material-properties", {"rho": 1.0, "mu": 1.0})
+        self.rho = float(mat["rho"])
+        self.mu = float(mat["mu"])
+        self.nu = self.mu / self.rho
+
+        ts = config.get("time-solver", {})
+        self.t_start = float(ts.get("start-time", 0.0))
+        self.t_end = float(ts.get("end-time", 1.0))
+        self.max_steps = int(ts.get("max-steps", 1000))
+        self.dt0 = float(ts.get("dt0", min(0.1, (self.t_end - self.t_start) / 10 or 0.1)))
+        self.ts_atol = float(ts.get("atol", 1e-4))
+        self.ts_rtol = float(ts.get("rtol", 1e-4))
+
+        self.kle_rtol = float(config.get("kle-rtol", 1e-10))
+        self.kle_maxiter = int(config.get("kle-maxiter", 5000))
+
+        bc = config.get("boundary-conditions")
+        if bc is not None:
+            self.read_boundary_condition(bc)
+
+        self._setup_done = False
+
+    # -- hooks ----------------------------------------------------------
+    def read_boundary_condition(self, bc):
+        pass
+
+    def setup_bc(self):
+        """Build free-dof masks and BC value functions."""
+        raise NotImplementedError
+
+    def vel_bc(self, t):
+        """Full-length velocity vector; only constrained dofs are read."""
+        raise NotImplementedError
+
+    def vort_bc(self, t, vort):
+        """Clamp boundary vorticity (None-op by default)."""
+        return vort
+
+    def initial_vorticity(self):
+        return jnp.zeros(self.mesh.n_nodes * self.dim_w, dtype=self.dtype)
+
+    # -- setup ----------------------------------------------------------
+    def setup(self):
+        """Parity: BaseProblem.setUp (base_problem.py:46-51)."""
+        self.mesh = BoxMesh(
+            nelem=self.nelem, lower=self.lower, upper=self.upper, ngl=self.ngl
+        )
+        self.elem = SpectralElement(self.ngl, self.dim)
+        self.system = build_kle_system(self.mesh, self.elem, self.dtype)
+        self.operators = build_operators(self.mesh, self.elem, self.dtype)
+        self.setup_bc()
+        self._setup_done = True
+        logger.info(
+            "%s: %dD ngl=%d, %d cells, %d nodes",
+            self.name, self.dim, self.ngl, self.mesh.n_cells, self.mesh.n_nodes,
+        )
+        return self
+
+    # -- solves ----------------------------------------------------------
+    def solve_kle(self, t, vort, x0=None):
+        raise NotImplementedError
+
+    def transport_rhs(self, t, vort, vel_ws):
+        """d(vort)/dt given vorticity; aux = warm-start velocity.
+
+        Parity: BaseProblem.evalRHS (base_problem.py:212-232).
+        """
+        vort = self.vort_bc(t, vort)
+        vel = self.solve_kle(t, vort, x0=vel_ws)
+        f = ns_rhs(self.operators, vel, self.mu, self.rho, self.dim)
+        return f, vel
+
+    # -- transient -------------------------------------------------------
+    def run(self, callback: Optional[Callable] = None, max_steps=None):
+        """Advance vorticity from t_start to t_end adaptively.
+
+        Parity: BaseProblem.startSolver + TS loop (base_problem.py:254-257).
+        """
+        assert self._setup_done
+        vort0 = self.initial_vorticity()
+        vel0 = jnp.zeros(self.mesh.n_nodes * self.dim, dtype=self.dtype)
+
+        def rhs(t, w, aux):
+            return self.transport_rhs(t, w, aux)
+
+        y, t, n = integrate(
+            rhs,
+            vort0,
+            self.t_start,
+            self.t_end,
+            self.dt0,
+            aux=vel0,
+            max_steps=max_steps if max_steps is not None else self.max_steps,
+            atol=self.ts_atol,
+            rtol=self.ts_rtol,
+            callback=callback,
+        )
+        self.vort = y
+        self.vel = self.solve_kle(jnp.asarray(t), y)
+        return y, t, n
+
+
+class FreeSlipProblem(BaseProblem):
+    """Every boundary node fully Dirichlet-constrained.
+
+    Parity: FreeSlip (base_problem.py:456-552).
+    """
+
+    def setup_bc(self):
+        mask = np.ones(self.mesh.n_nodes * self.dim)
+        bdofs = self.mesh.node_dofs(self.mesh.boundary_nodes, self.dim)
+        mask[bdofs] = 0.0
+        self.free_mask = jnp.asarray(mask, dtype=self.dtype)
+        wmask = np.zeros(self.mesh.n_nodes * self.dim_w)
+        wmask[self.mesh.node_dofs(self.mesh.boundary_nodes, self.dim_w)] = 1.0
+        self.bc_vort_mask = jnp.asarray(wmask, dtype=self.dtype)
+
+    def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None):
+        """Parity: FreeSlip.solveKLE (base_problem.py:479-481)."""
+        res = self.system.solve(
+            vort,
+            self.vel_bc(t),
+            self.free_mask,
+            x0=x0,
+            rtol=rtol if rtol is not None else self.kle_rtol,
+            maxiter=maxiter if maxiter is not None else self.kle_maxiter,
+        )
+        return res.x
+
+    def kle_error(self, viscous_times, exact_fields):
+        """||u - u_exact||_2 for KLE solves at t = tau^2/(4 nu).
+
+        Parity: FreeSlip.getKLEError (base_problem.py:483-497).
+        exact_fields(t) -> (vel (N,dim), vort (N,dim_w)) jnp arrays.
+        """
+        errors = []
+        for tau in viscous_times:
+            t = (tau**2) / (4.0 * self.nu)
+            vel_e, vort_e = exact_fields(t)
+            u = self.solve_kle(t, vort_e.reshape(-1), rtol=1e-13, maxiter=30000)
+            errors.append(float(jnp.linalg.norm(u - vel_e.reshape(-1))))
+        return errors
+
+
+def _eval_seq(seq):
+    out = []
+    for v in seq:
+        out.append(float(eval(v)) if isinstance(v, str) else float(v))
+    return out

@@ -1,0 +1,181 @@
+"""Adaptive explicit Runge-Kutta time integration (Bogacki-Shampine 5(4)).
+
+TPU-native replacement for PETSc TS type 'rk' with RKType '5bs' and
+MATCHSTEP final-time handling (/root/reference/src/solver/ts_solver.py:3-26).
+The 8-stage Bogacki-Shampine RK5(4) pair (RKSUITE / PETSc TSRK5BS) is FSAL:
+the 8th stage is the new solution's derivative, reused as stage 1 of the
+next accepted step.
+
+Everything jit-compiles: a single accepted step (including rejected
+attempts) runs inside lax.while_loop, so a full Navier-Stokes step —
+KLE CG solves, operator chain, stage loop, dt controller — is one XLA
+program. The controller mirrors PETSc TSAdaptBasic: weighted local
+truncation error wlte (atol/rtol, 2-norm), accept iff wlte <= 1,
+dt *= clip(0.9 * wlte^(-1/5), 0.1, 10).
+
+The RHS signature is ``rhs(t, y, aux) -> (f, aux)``: ``aux`` threads
+solver state (e.g. the KLE velocity for warm-started CG) through stages
+and steps.
+"""
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bogacki & Shampine RK5(4)8 pair (PETSc '5bs'); FSAL: b == A[7].
+BS5_A = np.array(
+    [
+        [0, 0, 0, 0, 0, 0, 0, 0],
+        [1 / 6, 0, 0, 0, 0, 0, 0, 0],
+        [2 / 27, 4 / 27, 0, 0, 0, 0, 0, 0],
+        [183 / 1372, -162 / 343, 1053 / 1372, 0, 0, 0, 0, 0],
+        [68 / 297, -4 / 11, 42 / 143, 1960 / 3861, 0, 0, 0, 0],
+        [597 / 22528, 81 / 352, 63099 / 585728, 58653 / 366080, 4617 / 20480, 0, 0, 0],
+        [174197 / 959244, -30942 / 79937, 8152137 / 19744439, 666106 / 1039181,
+         -29421 / 29068, 482048 / 414219, 0, 0],
+        [587 / 8064, 0, 4440339 / 15491840, 24353 / 124800, 387 / 44800,
+         2152 / 5985, 7267 / 94080, 0],
+    ]
+)
+BS5_B = BS5_A[7].copy()
+BS5_BEMBED = np.array(
+    [2479 / 34992, 0, 123 / 416, 612941 / 3411720, 43 / 1440, 2272 / 6561,
+     79937 / 1113912, 3293 / 556956]
+)
+BS5_C = BS5_A.sum(axis=1)
+BS5_STAGES = 8
+BS5_ORDER = 5
+
+
+class StepResult(NamedTuple):
+    y: jnp.ndarray
+    t: jnp.ndarray
+    dt_next: jnp.ndarray
+    aux: object
+    f_new: jnp.ndarray      # FSAL derivative at (t, y)
+    wlte: jnp.ndarray
+    attempts: jnp.ndarray
+
+
+def _wlte_norm(err, y_old, y_new, atol, rtol):
+    w = atol + rtol * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
+    e = err / w
+    return jnp.sqrt(jnp.mean(e * e))
+
+
+def make_bs5_stepper(
+    rhs: Callable,
+    atol: float = 1e-4,
+    rtol: float = 1e-4,
+    safety: float = 0.9,
+    min_factor: float = 0.1,
+    max_factor: float = 10.0,
+    max_attempts: int = 12,
+):
+    """Build ``step(y, t, dt, aux, f1, t_end) -> StepResult``.
+
+    One *accepted* adaptive step; rejected attempts loop inside. ``f1`` is
+    the FSAL derivative at (t, y) (pass rhs(t, y, aux)[0] initially). dt is
+    clamped so t never overshoots t_end (PETSc MATCHSTEP behavior,
+    ts_solver.py:19).
+    """
+    A = [jnp.asarray(row) for row in BS5_A]
+    B = jnp.asarray(BS5_B)
+    BE = jnp.asarray(BS5_BEMBED)
+    C = jnp.asarray(BS5_C)
+
+    def attempt(y, t, dt, aux, f1):
+        ks = [f1]
+        aux_c = aux
+        for i in range(1, BS5_STAGES):
+            yi = y
+            for j in range(i):
+                a = float(BS5_A[i, j])
+                if a != 0.0:
+                    yi = yi + (dt * a) * ks[j]
+            fi, aux_c = rhs(t + C[i] * dt, yi, aux_c)
+            ks.append(fi)
+        y5 = y
+        for j in range(BS5_STAGES):
+            b = float(BS5_B[j])
+            if b != 0.0:
+                y5 = y5 + (dt * b) * ks[j]
+        err = jnp.zeros_like(y)
+        for j in range(BS5_STAGES):
+            d = float(BS5_B[j] - BS5_BEMBED[j])
+            if d != 0.0:
+                err = err + (dt * d) * ks[j]
+        wlte = _wlte_norm(err, y, y5, atol, rtol)
+        return y5, ks[-1], wlte, aux_c
+
+    def step(y, t, dt, aux, f1, t_end):
+        dt = jnp.minimum(dt, t_end - t)
+
+        def cond(s):
+            _, _, _, _, _, accepted, k, _ = s
+            return (~accepted) & (k < max_attempts)
+
+        def body(s):
+            y0, t0, dt0, aux0, f10, _, k, _ = s
+            y5, f_new, wlte, aux1 = attempt(y0, t0, dt0, aux0, f10)
+            accepted = wlte <= 1.0
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(wlte, 1e-30), -1.0 / BS5_ORDER),
+                min_factor,
+                max_factor,
+            )
+            dt_next = dt0 * jnp.where(accepted, factor, jnp.minimum(factor, 1.0))
+            # on accept: y,t advance; dt_next proposed for next step
+            y_out = jnp.where(accepted, y5, y0)
+            t_out = jnp.where(accepted, t0 + dt0, t0)
+            f_out = jax.tree.map(
+                lambda a, b: jnp.where(accepted, a, b), f_new, f10
+            )
+            aux_out = jax.tree.map(
+                lambda a, b: jnp.where(accepted, a, b), aux1, aux0
+            )
+            dt_attempt = jnp.where(accepted, dt_next, dt_next)
+            return (y_out, t_out, dt_attempt, aux_out, f_out, accepted, k + 1, wlte)
+
+        init = (y, t, dt, aux, f1, jnp.asarray(False), jnp.asarray(0, jnp.int32),
+                jnp.asarray(jnp.inf, y.dtype))
+        y_o, t_o, dt_o, aux_o, f_o, _, k, wlte = jax.lax.while_loop(cond, body, init)
+        return StepResult(y=y_o, t=t_o, dt_next=dt_o, aux=aux_o, f_new=f_o,
+                          wlte=wlte, attempts=k)
+
+    return step
+
+
+def integrate(
+    rhs: Callable,
+    y0,
+    t0: float,
+    t_end: float,
+    dt0: float,
+    aux,
+    max_steps: int = 10**6,
+    atol: float = 1e-4,
+    rtol: float = 1e-4,
+    callback=None,
+):
+    """Host-driven adaptive integration loop (one jitted step per iteration).
+
+    ``callback(step, t, dt, y, aux)`` runs on host after each accepted step
+    — the analogue of the reference's convergedStepFunction
+    (base_problem.py:174-182).
+    """
+    step = jax.jit(make_bs5_stepper(rhs, atol=atol, rtol=rtol))
+    y = y0
+    t = jnp.asarray(t0, dtype=y0.dtype)
+    dt = jnp.asarray(dt0, dtype=y0.dtype)
+    f1, aux = rhs(t, y, aux)
+    n = 0
+    while float(t) < t_end - 1e-14 and n < max_steps:
+        res = step(y, t, dt, aux, f1, t_end)
+        y, t, dt, aux, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
+        n += 1
+        if callback is not None:
+            callback(n, float(t), float(res.dt_next), y, aux)
+    return y, float(t), n

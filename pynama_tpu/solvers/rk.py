@@ -73,6 +73,7 @@ def make_bs5_stepper(
     min_factor: float = 0.1,
     max_factor: float = 10.0,
     max_attempts: int = 12,
+    wlte_norm: Callable = _wlte_norm,
 ):
     """Build ``step(y, t, dt, aux, f1, t_end) -> StepResult``.
 
@@ -81,12 +82,9 @@ def make_bs5_stepper(
     clamped so t never overshoots t_end (PETSc MATCHSTEP behavior,
     ts_solver.py:19).
     """
-    A = [jnp.asarray(row) for row in BS5_A]
-    B = jnp.asarray(BS5_B)
-    BE = jnp.asarray(BS5_BEMBED)
-    C = jnp.asarray(BS5_C)
-
     def attempt(y, t, dt, aux, f1):
+        # tableau entries enter as python floats: stays dtype-clean under
+        # x64 (float64 on CPU parity runs, float32 on TPU speed runs)
         ks = [f1]
         aux_c = aux
         for i in range(1, BS5_STAGES):
@@ -95,7 +93,7 @@ def make_bs5_stepper(
                 a = float(BS5_A[i, j])
                 if a != 0.0:
                     yi = yi + (dt * a) * ks[j]
-            fi, aux_c = rhs(t + C[i] * dt, yi, aux_c)
+            fi, aux_c = rhs(t + float(BS5_C[i]) * dt, yi, aux_c)
             ks.append(fi)
         y5 = y
         for j in range(BS5_STAGES):
@@ -107,7 +105,7 @@ def make_bs5_stepper(
             d = float(BS5_B[j] - BS5_BEMBED[j])
             if d != 0.0:
                 err = err + (dt * d) * ks[j]
-        wlte = _wlte_norm(err, y, y5, atol, rtol)
+        wlte = wlte_norm(err, y, y5, atol, rtol)
         return y5, ks[-1], wlte, aux_c
 
     def step(y, t, dt, aux, f1, t_end):

@@ -1,0 +1,75 @@
+"""Multi-chip slab decomposition: distributed results must match
+single-device results to near machine precision.
+
+Runs on 8 virtual CPU devices (conftest sets
+xla_force_host_platform_device_count=8). The analogue of the reference's
+(untested) MPI path (SURVEY.md section 2c).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pynama_tpu.cases.analytic import CustomFuncProblem
+from pynama_tpu.cases.cavity import CavityProblem
+from pynama_tpu.parallel.slab import SlabDecomposition
+from pynama_tpu.parallel.sharded_problem import ShardedNSProblem
+from tests.test_cases import make_config
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs multi-device (virtual) platform"
+)
+
+
+def test_slab_round_trip():
+    from pynama_tpu.mesh.structured import BoxMesh
+
+    m = BoxMesh(nelem=(3, 8), lower=(0, 0), upper=(1, 1), ngl=3)
+    sl = SlabDecomposition(m, 4)
+    x = np.random.default_rng(0).normal(size=m.n_nodes * 2)
+    loc = sl.to_local(x, 2)
+    assert loc.shape == (4, sl.n_loc * 2)
+    np.testing.assert_allclose(sl.from_local(loc, 2), x)
+    # overlap consistency: device d's last plane == device d+1's first plane
+    pk = sl.plane * 2
+    for d in range(3):
+        np.testing.assert_allclose(loc[d][-pk:], loc[d + 1][:pk])
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_taylor_green_matches_single(n_dev):
+    cfg = make_config((4, 8), 3, rho=0.5, mu=0.01, end=0.02, max_steps=20)
+    p = CustomFuncProblem(cfg, case="taylor-green").setup()
+    w_ref, t_ref, n_ref = p.run()
+
+    p2 = CustomFuncProblem(cfg, case="taylor-green").setup()
+    sp = ShardedNSProblem(p2, n_dev)
+    w_loc, t, n = sp.run()
+    w_dist = sp.unshard(w_loc, p2.dim_w)
+
+    assert n == n_ref
+    assert abs(t - t_ref) < 1e-14
+    err = np.linalg.norm(w_dist - np.asarray(w_ref)) / np.linalg.norm(
+        np.asarray(w_ref)
+    )
+    assert err < 1e-10, err
+
+
+def test_sharded_cavity_matches_single():
+    cfg = make_config((4, 8), 3, rho=1.0, mu=0.1, end=0.1, max_steps=10)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    p = CavityProblem(cfg).setup()
+    w_ref, t_ref, n_ref = p.run(max_steps=4)
+
+    p2 = CavityProblem(cfg).setup()
+    sp = ShardedNSProblem(p2, 4)
+    w_loc, t, n = sp.run(max_steps=4)
+    w_dist = sp.unshard(w_loc, 1)
+
+    assert n == n_ref
+    denom = max(np.linalg.norm(np.asarray(w_ref)), 1.0)
+    err = np.linalg.norm(w_dist - np.asarray(w_ref)) / denom
+    # CG reduction order differs across device counts; corner-singular
+    # cavity amplifies the rounding slightly more than smooth TG
+    assert err < 1e-8, err

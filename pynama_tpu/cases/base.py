@@ -126,33 +126,66 @@ class BaseProblem:
         return f, vel
 
     # -- transient -------------------------------------------------------
-    def run(self, callback: Optional[Callable] = None, max_steps=None):
+    def run(
+        self,
+        callback: Optional[Callable] = None,
+        max_steps=None,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume_from: Optional[str] = None,
+    ):
         """Advance vorticity from t_start to t_end adaptively.
 
         Parity: BaseProblem.startSolver + TS loop (base_problem.py:254-257).
+        Checkpoint/resume is NEW relative to the reference (SURVEY.md
+        section 5): pass checkpoint_path+checkpoint_every to persist
+        (step, t, dt, vort, vel, f1); resume_from restores them.
         """
         assert self._setup_done
-        vort0 = self.initial_vorticity()
-        vel0 = jnp.zeros(self.mesh.n_nodes * self.dim, dtype=self.dtype)
+        dtype = self.dtype
 
         def rhs(t, w, aux):
             return self.transport_rhs(t, w, aux)
 
-        y, t, n = integrate(
-            rhs,
-            vort0,
-            self.t_start,
-            self.t_end,
-            self.dt0,
-            aux=vel0,
-            max_steps=max_steps if max_steps is not None else self.max_steps,
-            atol=self.ts_atol,
-            rtol=self.ts_rtol,
-            callback=callback,
-        )
-        self.vort = y
-        self.vel = self.solve_kle(jnp.asarray(t), y)
-        return y, t, n
+        step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol,
+                                        rtol=self.ts_rtol))
+        if resume_from:
+            from pynama_tpu.io.checkpoint import load_checkpoint
+
+            ck = load_checkpoint(resume_from)
+            vort = jnp.asarray(ck["vort"], dtype=dtype)
+            vel = jnp.asarray(ck["vel"], dtype=dtype)
+            f1 = jnp.asarray(ck["f1"], dtype=dtype)
+            t = jnp.asarray(ck["t"], dtype=dtype)
+            dt = jnp.asarray(ck["dt"], dtype=dtype)
+            n = ck["step"]
+        else:
+            vort = self.initial_vorticity()
+            vel = jnp.zeros(self.mesh.n_nodes * self.dim, dtype=dtype)
+            t = jnp.asarray(self.t_start, dtype=dtype)
+            dt = jnp.asarray(self.dt0, dtype=dtype)
+            f1, vel = rhs(t, vort, vel)
+            n = 0
+
+        t_end = jnp.asarray(self.t_end, dtype=dtype)
+        steps = max_steps if max_steps is not None else self.max_steps
+        while float(t) < float(t_end) - 1e-14 and n < steps:
+            res = step(vort, t, dt, vel, f1, t_end)
+            vort, t, dt, vel, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
+            n += 1
+            if callback is not None:
+                callback(n, float(t), float(dt), vort, vel)
+            if checkpoint_path and checkpoint_every and n % checkpoint_every == 0:
+                from pynama_tpu.io.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path, step=n, t=float(t), dt=float(dt),
+                    vort=np.asarray(vort), vel=np.asarray(vel),
+                    f1=np.asarray(f1),
+                )
+        self.vort = vort
+        self.vel = self.solve_kle(t, vort)
+        return vort, float(t), n
 
 
 class FreeSlipProblem(BaseProblem):
@@ -170,8 +203,12 @@ class FreeSlipProblem(BaseProblem):
         wmask[self.mesh.node_dofs(self.mesh.boundary_nodes, self.dim_w)] = 1.0
         self.bc_vort_mask = jnp.asarray(wmask, dtype=self.dtype)
 
-    def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None):
-        """Parity: FreeSlip.solveKLE (base_problem.py:479-481)."""
+    def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None, restarts=1):
+        """Parity: FreeSlip.solveKLE (base_problem.py:479-481).
+
+        restarts=1 in the transient hot path (warm starts make refinement
+        unnecessary); accuracy gates pass restarts=2.
+        """
         res = self.system.solve(
             vort,
             self.vel_bc(t),
@@ -179,6 +216,7 @@ class FreeSlipProblem(BaseProblem):
             x0=x0,
             rtol=rtol if rtol is not None else self.kle_rtol,
             maxiter=maxiter if maxiter is not None else self.kle_maxiter,
+            restarts=restarts,
         )
         return res.x
 
@@ -192,7 +230,8 @@ class FreeSlipProblem(BaseProblem):
         for tau in viscous_times:
             t = (tau**2) / (4.0 * self.nu)
             vel_e, vort_e = exact_fields(t)
-            u = self.solve_kle(t, vort_e.reshape(-1), rtol=1e-13, maxiter=30000)
+            u = self.solve_kle(t, vort_e.reshape(-1), rtol=1e-13,
+                               maxiter=30000, restarts=2)
             errors.append(float(jnp.linalg.norm(u - vel_e.reshape(-1))))
         return errors
 

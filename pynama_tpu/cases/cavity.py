@@ -86,20 +86,22 @@ class NoSlipProblem(BaseProblem):
     def vel_bc(self, t):
         return self._u_bc
 
-    def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None):
+    def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None, restarts=1):
         """Parity: NoSlipFreeSlip.solveKLE (base_problem.py:321-327)."""
         rtol = rtol if rtol is not None else self.kle_rtol
         maxiter = maxiter if maxiter is not None else self.kle_maxiter
         u_bc = self.vel_bc(t)
         res_fs = self.system.solve(
-            vort, u_bc, self.free_mask_fs, x0=x0, rtol=rtol, maxiter=maxiter
+            vort, u_bc, self.free_mask_fs, x0=x0, rtol=rtol, maxiter=maxiter,
+            restarts=restarts,
         )
         # applyBoundaryConditionsFS (cavity.py:67-82): overwrite no-slip
         # wall velocities before computing the wall vorticity
         vel_fs = res_fs.x * (1.0 - self._fsfree) + u_bc * self._fsfree
         vort2 = self.operators.curl(vel_fs)
         res = self.system.solve(
-            vort2, u_bc, self.free_mask, x0=res_fs.x, rtol=rtol, maxiter=maxiter
+            vort2, u_bc, self.free_mask, x0=res_fs.x, rtol=rtol,
+            maxiter=maxiter, restarts=restarts,
         )
         return res.x
 

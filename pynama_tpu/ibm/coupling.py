@@ -1,0 +1,133 @@
+"""Euler-Lagrange delta-function coupling, fixed-window and matrix-free.
+
+TPU re-design of the reference's IBM matrices
+(/root/reference/src/cases/immersed_boundary.py:213-251 buildIBMMatrix):
+the reference builds a sparse interpolation matrix H (lag x euler) with
+Python loops, S = H^T (dl h), A = H S, and LU-factors A — rebuilding
+everything each step for moving bodies (:428-434).
+
+Here every Lagrange point owns a STATIC 6x6 window of fine-grid nodes
+(the 4-point kernel's support is 4x4; 6 covers the floor() jitter), so:
+
+  * interpolation (H u)  = windowed gather + weighted sum,
+  * spreading    (S q)   = weighted scatter-add,
+  * the flux system A q = rhs is solved matrix-free with CG
+    (A = H S is SPD; ~couple dozen iterations at these sizes),
+
+all with static shapes — a moving body only changes index/weight VALUES,
+so the dynamic case re-traces nothing and needs no host-side rebuild.
+
+Scalings follow the reference exactly: H entries are the dimensionless
+kernel products (after its h^2 rescale), S entries carry dl/h.
+Requires a uniform fine grid (ngl <= 3 box mesh — the reference's IBM
+assumption, immersed_boundary.py:48-58).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynama_tpu.ibm.diracs import KERNELS
+from pynama_tpu.mesh.structured import BoxMesh
+from pynama_tpu.solvers.cg import cg_solve
+
+WIN = 6  # window size per axis
+
+
+@dataclass
+class IBMCoupling:
+    mesh: BoxMesh
+    dl: float
+    kernel: str = "fourGrid"
+    dtype: object = jnp.float64
+
+    def __post_init__(self):
+        m = self.mesh
+        if m.dim != 2:
+            raise NotImplementedError("IBM coupling is 2D (like the reference)")
+        ax = m.axis_coords
+        dx = np.diff(ax[0])
+        dy = np.diff(ax[1])
+        if not (np.allclose(dx, dx[0], rtol=1e-10) and np.allclose(dy, dy[0], rtol=1e-10)):
+            raise ValueError(
+                "IBM needs a uniform fine grid: use ngl<=3 box meshes "
+                "(GLL spacing is non-uniform inside ngl>3 elements)"
+            )
+        if not np.isclose(dx[0], dy[0]):
+            raise ValueError("IBM needs square grid cells")
+        self.h = float(dx[0])
+        self.lower = np.asarray(m.lower)
+        self.npx, self.npy = m.npts
+        self.phi = KERNELS[self.kernel]
+
+    # ------------------------------------------------------------------
+    def windows(self, X):
+        """Window node ids + kernel weights for Lagrange points X (L, 2).
+
+        Returns (nodes (L, WIN*WIN) int32, weights (L, WIN*WIN)); weights
+        are the dimensionless products phi(dx/h) phi(dy/h) (each row sums
+        to 1 — the discrete mass condition).
+        """
+        s = (X - jnp.asarray(self.lower, dtype=X.dtype)[None, :]) / self.h
+        base = jnp.floor(s).astype(jnp.int32) - (WIN // 2 - 1)
+        offs = jnp.arange(WIN, dtype=jnp.int32)
+        ix = base[:, 0:1] + offs[None, :]              # (L, WIN)
+        iy = base[:, 1:2] + offs[None, :]
+        wx = self.phi(s[:, 0:1] - ix.astype(X.dtype))  # (L, WIN)
+        wy = self.phi(s[:, 1:2] - iy.astype(X.dtype))
+        # clip out-of-domain indices and kill their weights
+        okx = (ix >= 0) & (ix < self.npx)
+        oky = (iy >= 0) & (iy < self.npy)
+        wx = jnp.where(okx, wx, 0.0)
+        wy = jnp.where(oky, wy, 0.0)
+        ix = jnp.clip(ix, 0, self.npx - 1)
+        iy = jnp.clip(iy, 0, self.npy - 1)
+        nodes = (iy[:, :, None] * self.npx + ix[:, None, :]).reshape(X.shape[0], -1)
+        weights = (wy[:, :, None] * wx[:, None, :]).reshape(X.shape[0], -1)
+        return nodes, weights
+
+    # -- operator applies (vel dof layout: node*2 + c) -------------------
+    def interp(self, u, nodes, weights):
+        """(H u): fluid velocity at Lagrange points, (L, 2)."""
+        ue = u.reshape(-1, 2)[nodes]                   # (L, K, 2)
+        return jnp.einsum("lk,lkc->lc", weights, ue)
+
+    def spread(self, q, nodes, weights, n_nodes):
+        """(S q): spread Lagrange flux to fluid dofs, scaled dl/h."""
+        vals = weights[:, :, None] * q[:, None, :] * (self.dl / self.h)
+        out = jnp.zeros((n_nodes, 2), dtype=q.dtype)
+        out = out.at[nodes.reshape(-1)].add(vals.reshape(-1, 2))
+        return out.reshape(-1)
+
+    def flux_diag(self, weights):
+        """diag(A) = dl/h * sum_k w^2 (Jacobi preconditioner)."""
+        return (weights * weights).sum(axis=1) * (self.dl / self.h)
+
+    def solve_correction(self, vel, body_vel, nodes, weights, rtol=1e-10,
+                         maxiter=500):
+        """Velocity correction u += S q with A q = -(H u - U_body).
+
+        Parity: computeVelocityCorrection
+        (immersed_boundary.py:205-211) — LU on the assembled A replaced
+        by matrix-free Jacobi-CG.
+        Returns (corrected velocity, virtual flux q (L,2)).
+        """
+        n_nodes = vel.shape[0] // 2
+        rhs = body_vel - self.interp(vel, nodes, weights)  # -(Hu - Ub)
+
+        def A(qf):
+            q = qf.reshape(-1, 2)
+            return self.interp(
+                self.spread(q, nodes, weights, n_nodes), nodes, weights
+            ).reshape(-1)
+
+        d = self.flux_diag(weights)
+        m_inv = 1.0 / jnp.repeat(jnp.maximum(d, 1e-30), 2)
+        res = cg_solve(A, rhs.reshape(-1), m_inv=m_inv, rtol=rtol,
+                       maxiter=maxiter)
+        q = res.x.reshape(-1, 2)
+        vel = vel + self.spread(q, nodes, weights, n_nodes)
+        return vel, q

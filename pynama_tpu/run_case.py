@@ -1,0 +1,252 @@
+"""CLI driver: production runs, convergence charts, operator tests.
+
+Parity: /root/reference/src/run_case.py —
+  python -m pynama_tpu.run_case -case <name> [-test kle|operators|chartkle]
+         [-log LEVEL] [-ngl N] [-nelem N] [-resume ckpt] [-dtype float32]
+
+Modes (run_case.py:164-185):
+  (default)        transient production run (timeSolving :152-162) with
+                   XDMF/HDF5 output, checkpoints and step logging
+  -test kle        KLE p-refinement convergence chart (generateChart :30-77)
+  -test operators  convective/diffusive/curl error chart
+                   (generateChartOperators :79-130)
+  -test chartkle   transient error tracking vs the analytic solution
+                   (convergedStepFunctionKLET path :138-149)
+
+Case configs are YAML files with the reference schema
+(/root/reference/src/cases/*.yaml), looked up in ./configs/ or by path.
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+import yaml
+
+logger = logging.getLogger("pynama_tpu")
+
+CASE_CLASSES = {
+    "uniform": ("pynama_tpu.cases.uniform", "UniformFlowProblem", {}),
+    "cavity": ("pynama_tpu.cases.cavity", "CavityProblem", {}),
+    "taylor-green": ("pynama_tpu.cases.analytic", "CustomFuncProblem",
+                     {"case": "taylor-green"}),
+    "taylor-green2d-3d": ("pynama_tpu.cases.analytic", "CustomFuncProblem",
+                          {"case": "taylor-green2d-3d"}),
+    "senoidal": ("pynama_tpu.cases.analytic", "CustomFuncProblem",
+                 {"case": "senoidal"}),
+    "flat-plate": ("pynama_tpu.cases.analytic", "CustomFuncProblem",
+                   {"case": "flat-plate"}),
+    "ibm-static": ("pynama_tpu.cases.immersed", "ImmersedBoundaryProblem", {}),
+    "ibm-dynamic": ("pynama_tpu.cases.immersed",
+                    "ImmersedBoundaryDynamicProblem", {}),
+}
+
+
+def load_config(case: str, path=None):
+    candidates = [
+        path,
+        case if case and case.endswith((".yaml", ".yml")) else None,
+        os.path.join(os.path.dirname(__file__), "..", "configs", f"{case}.yaml"),
+        os.path.join("configs", f"{case}.yaml"),
+    ]
+    for c in candidates:
+        if c and os.path.exists(c):
+            with open(c) as f:
+                return yaml.safe_load(f)
+    raise FileNotFoundError(f"no YAML config found for case '{case}'")
+
+
+def make_problem(case, config, **overrides):
+    import importlib
+
+    import jax.numpy as jnp
+
+    mod_name, cls_name, kw = CASE_CLASSES[case]
+    cls = getattr(importlib.import_module(mod_name), cls_name)
+    dtype = overrides.pop("dtype", None)
+    kw = dict(kw)
+    if dtype:
+        kw["dtype"] = jnp.float32 if dtype == "float32" else jnp.float64
+    kw.update({k: v for k, v in overrides.items() if v is not None})
+    return cls(config, **kw)
+
+
+def time_solving(args, config):
+    """Production run. Parity: timeSolving (run_case.py:152-162)."""
+    p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
+                     dtype=args.dtype).setup()
+    save_dir = config.get("save-dir", f"run-{args.case}")
+    save_every = int(config.get("save-n-steps", 1))
+
+    writer = None
+    try:
+        from pynama_tpu.io.xdmf import XdmfWriter
+
+        writer = XdmfWriter(save_dir, p.dim)
+        writer.save_mesh(p.mesh.coords)
+    except Exception as e:  # h5py missing etc.
+        logger.warning("XDMF output disabled: %s", e)
+
+    t0 = time.perf_counter()
+
+    def cb(step, t, dt, vort, vel):
+        logger.info("Converged: Step %4d | Time %.4e | Increment Time: %.2e",
+                    step, t, dt)
+        if writer is not None and step % save_every == 0:
+            writer.save_fields(step, t, velocity=vel, vorticity=vort)
+            writer.write_xmf(config.get("name", args.case))
+
+    vort, t, n = p.run(
+        callback=cb,
+        checkpoint_path=os.path.join(save_dir, "checkpoint.npz"),
+        checkpoint_every=max(save_every, 1),
+        resume_from=args.resume,
+    )
+    elapsed = time.perf_counter() - t0
+    logger.info("Total Time: %.3f s (%d steps to t=%.4f)", elapsed, n, t)
+
+    metrics = {"steps": n, "final_time": t, "elapsed_s": elapsed}
+    if hasattr(p, "cd_history") and p.cd_history:
+        metrics["cd"] = [c[0] for c in p.cd_history]
+        metrics["cl"] = [c[0] for c in p.cl_history]
+        metrics["times"] = p.t_history
+        from pynama_tpu.io.plots import drag_lift_chart, shedding_frequency
+
+        drag_lift_chart(p.t_history, metrics["cd"], metrics["cl"],
+                        os.path.join(save_dir, "drag-lift.png"))
+        f, st = shedding_frequency(p.t_history, metrics["cl"],
+                                   u_ref=getattr(p, "u_ref", 1.0))
+        metrics["shedding_frequency"] = f
+        metrics["strouhal"] = st
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, f"{args.case}-metrics.yaml"), "w") as f:
+        yaml.safe_dump(metrics, f)
+    return metrics
+
+
+def chart_kle(args, config):
+    """p-refinement KLE convergence. Parity: generateChart (:30-77)."""
+    ngls = list(range(3, int(args.max_ngl) + 1, 2))
+    taus = [0.2, 0.5, 0.9]
+    rows = []
+    for ngl in ngls:
+        p = make_problem(args.case, config, ngl=ngl, nelem=args.nelem,
+                         dtype=args.dtype).setup()
+        errs = p.kle_error(taus)
+        rows.append((ngl, errs))
+        logger.info("ngl=%2d errors=%s", ngl, ["%.3e" % e for e in errs])
+    from pynama_tpu.io.plots import loglog_error_chart
+
+    series = [
+        (f"tau={tau}", np.array([r[0] for r in rows]),
+         np.array([r[1][i] for r in rows]))
+        for i, tau in enumerate(taus)
+    ]
+    out = loglog_error_chart(series, f"chart-kle-{args.case}.png",
+                             xlabel="ngl", ylabel="||u - u_exact||")
+    print(json.dumps({"ngl": [r[0] for r in rows],
+                      "errors": [r[1] for r in rows], "chart": out}))
+
+
+def chart_operators(args, config):
+    """Operator-error convergence. Parity: generateChartOperators (:79-130).
+
+    (The reference version crashes on an undefined variable at HEAD —
+    SURVEY.md section 2 'latent bugs'; this one runs.)
+    """
+    ngls = list(range(3, int(args.max_ngl) + 1, 2))
+    rows = []
+    for ngl in ngls:
+        p = make_problem(args.case, config, ngl=ngl, nelem=args.nelem,
+                         dtype=args.dtype).setup()
+        conv, diff, curl = p.operators_test(viscous_time=1.0)
+        rows.append((ngl, conv, diff, curl))
+        logger.info("ngl=%2d conv=%.3e diff=%.3e curl=%.3e",
+                    ngl, conv, diff, curl)
+    from pynama_tpu.io.plots import loglog_error_chart
+
+    x = np.array([r[0] for r in rows])
+    out = loglog_error_chart(
+        [("convective", x, np.array([r[1] for r in rows])),
+         ("diffusive", x, np.array([r[2] for r in rows])),
+         ("curl", x, np.array([r[3] for r in rows]))],
+        f"chart-operators-{args.case}.png", xlabel="ngl", ylabel="error",
+    )
+    print(json.dumps({"rows": rows, "chart": out}))
+
+
+def chart_kle_transient(args, config):
+    """Transient error tracking. Parity: convergedStepFunctionKLET
+    (base_problem.py:184-204) via -test chartkle (run_case.py:138-149)."""
+    import jax.numpy as jnp
+
+    p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
+                     dtype=args.dtype).setup()
+    hist = {"step": [], "time": [], "error2": [], "errorInf": []}
+
+    def cb(step, t, dt, vort, vel):
+        vel_e, _ = p.exact_fields(t)
+        e = vel - vel_e.reshape(-1)
+        hist["step"].append(step)
+        hist["time"].append(t)
+        hist["error2"].append(float(jnp.linalg.norm(e)))
+        hist["errorInf"].append(float(jnp.max(jnp.abs(e))))
+        logger.info("Step %4d | t=%.4e | e2=%.3e einf=%.3e", step, t,
+                    hist["error2"][-1], hist["errorInf"][-1])
+
+    p.run(callback=cb)
+    with open(f"chartkle-{args.case}.yaml", "w") as f:
+        yaml.safe_dump(hist, f)
+    print(json.dumps({k: v[-1] if v else None for k, v in hist.items()}))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("-case", required=True, choices=sorted(CASE_CLASSES))
+    ap.add_argument("-config", default=None, help="explicit YAML path")
+    ap.add_argument("-test", default=None,
+                    choices=["kle", "operators", "chartkle"])
+    ap.add_argument("-log", default="INFO")
+    ap.add_argument("-ngl", type=int, default=None)
+    ap.add_argument("-nelem", type=int, nargs="+", default=None)
+    ap.add_argument("-max-ngl", type=int, default=9)
+    ap.add_argument("-resume", default=None, help="checkpoint to resume from")
+    ap.add_argument("-dtype", default=None, choices=["float32", "float64"])
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=getattr(logging, args.log.upper(), logging.INFO),
+        format="%(levelname)s %(name)s: %(message)s",
+    )
+    import jax
+
+    # the container's sitecustomize registers the TPU plugin before the env
+    # is consulted; honor JAX_PLATFORMS explicitly so `JAX_PLATFORMS=cpu
+    # python -m pynama_tpu.run_case ...` really runs on CPU
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PYNAMA_JAX_CACHE",
+                                     "/tmp/pynama-jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    config = load_config(args.case, args.config)
+    if args.nelem is not None:
+        args.nelem = tuple(args.nelem)
+
+    if args.test == "kle":
+        chart_kle(args, config)
+    elif args.test == "operators":
+        chart_operators(args, config)
+    elif args.test == "chartkle":
+        chart_kle_transient(args, config)
+    else:
+        time_solving(args, config)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.devices()[0].platform == "cpu"
+
+# persistent compilation cache: the BS5+CG step programs are expensive to
+# compile and identical across tests/processes
+jax.config.update("jax_compilation_cache_dir", "/tmp/pynama-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import pytest  # noqa: E402
+
+
+def pytest_collection_modifyitems(config, items):
+    """Skip @slow (subprocess CLI drives) unless PYNAMA_RUN_SLOW=1."""
+    if os.environ.get("PYNAMA_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow end-to-end drive; PYNAMA_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

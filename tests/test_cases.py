@@ -37,7 +37,8 @@ def make_config(nelem, ngl, rho=1.0, mu=0.01, lower=None, upper=None, **ts):
 
 def test_uniform_case_2d():
     p = UniformFlowProblem(make_config((6, 6), 3)).setup()
-    u = p.solve_kle(0.0, jnp.zeros(p.mesh.n_nodes), rtol=1e-14, maxiter=10000)
+    u = p.solve_kle(0.0, jnp.zeros(p.mesh.n_nodes), rtol=1e-14, maxiter=10000,
+                    restarts=2)
     vel_e, _ = p.exact_fields(0.0)
     assert float(jnp.linalg.norm(u - vel_e.reshape(-1))) < 1e-12
 

@@ -65,6 +65,11 @@ def cavity_config():
 
 def bench_ours():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PYNAMA_JAX_CACHE",
+                                     "/tmp/pynama-jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from pynama_tpu.cases.cavity import CavityProblem

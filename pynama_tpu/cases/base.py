@@ -104,12 +104,38 @@ class BaseProblem:
         self.system = build_kle_system(self.mesh, self.elem, self.dtype)
         self.operators = build_operators(self.mesh, self.elem, self.dtype)
         self.setup_bc()
+        self.setup_preconditioner()
         self._setup_done = True
         logger.info(
             "%s: %dD ngl=%d, %d cells, %d nodes",
             self.name, self.dim, self.ngl, self.mesh.n_cells, self.mesh.n_nodes,
         )
         return self
+
+    def setup_preconditioner(self):
+        """Geometric-multigrid preconditioner on uniform box meshes.
+
+        Replaces the reference's factor-once LU economics
+        (ksp_solver.py:14-15) with a V-cycle that keeps CG iteration
+        counts mesh-independent. Disabled with config 'multigrid: false'
+        or automatically when the mesh cannot be coarsened.
+        """
+        self._minv = None
+        self._minv_fs = None
+        if not self.config.get("multigrid", True):
+            return
+        if not getattr(self.mesh, "uniform", False):
+            return
+        from pynama_tpu.solvers.multigrid import MGPreconditioner
+
+        mg = MGPreconditioner(self.mesh, self.elem, dtype=self.dtype)
+        if not mg.usable:
+            return
+        self.mg = mg
+        if hasattr(self, "free_mask"):
+            self._minv = mg.build(self.free_mask)
+        if getattr(self, "free_mask_fs", None) is not None:
+            self._minv_fs = mg.build(self.free_mask_fs)
 
     # -- solves ----------------------------------------------------------
     def solve_kle(self, t, vort, x0=None):
@@ -217,6 +243,7 @@ class FreeSlipProblem(BaseProblem):
             rtol=rtol if rtol is not None else self.kle_rtol,
             maxiter=maxiter if maxiter is not None else self.kle_maxiter,
             restarts=restarts,
+            m_inv=getattr(self, "_minv", None),
         )
         return res.x
 

@@ -93,7 +93,7 @@ class NoSlipProblem(BaseProblem):
         u_bc = self.vel_bc(t)
         res_fs = self.system.solve(
             vort, u_bc, self.free_mask_fs, x0=x0, rtol=rtol, maxiter=maxiter,
-            restarts=restarts,
+            restarts=restarts, m_inv=getattr(self, "_minv_fs", None),
         )
         # applyBoundaryConditionsFS (cavity.py:67-82): overwrite no-slip
         # wall velocities before computing the wall vorticity
@@ -102,6 +102,7 @@ class NoSlipProblem(BaseProblem):
         res = self.system.solve(
             vort2, u_bc, self.free_mask, x0=res_fs.x, rtol=rtol,
             maxiter=maxiter, restarts=restarts,
+            m_inv=getattr(self, "_minv", None),
         )
         return res.x
 

@@ -79,6 +79,7 @@ class KLESystem:
         maxiter: int = 20000,
         restarts: int = 2,
         dot=jnp.dot,
+        m_inv=None,
     ) -> CGResult:
         """Solve the KLE for velocity given vorticity and BC values.
 
@@ -94,7 +95,8 @@ class KLESystem:
         else:
             x0 = free_mask * x0 + (1.0 - free_mask) * u_bc
         apply_A = partial(self.apply_masked, free_mask=free_mask)
-        m_inv = self.jacobi_inv(free_mask)
+        if m_inv is None:
+            m_inv = self.jacobi_inv(free_mask)
         total_iters = 0
         res = None
         for _ in range(max(1, restarts)):
@@ -179,21 +181,37 @@ def ns_rhs(system_ops: ProjectionOperators, vel, mu, rho, dim):
 def build_kle_system(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
     """Assemble the matrix-free KLE system for a mesh.
 
-    On uniform meshes the elemental matrices are computed once for cell 0
-    and shared (the reference does the same for operators and the no-slip
-    K, base_problem.py:133-137,333-337).
+    Uniform box meshes get the scatter-free structured apply
+    (pynama_tpu/ops/structured.py — strided slices + one shared GEMM);
+    unstructured meshes use batched per-element matrices with
+    gather/scatter (the reference computes cell-0 matrices once for
+    uniform meshes too, base_problem.py:133-137,333-337, and per-cell for
+    general ones, :504-506).
     """
     dim, dim_w = mesh.dim, mesh.dim_w
+    n_vel = mesh.n_nodes * dim
+
+    if mesh.uniform and hasattr(mesh, "npts"):
+        from pynama_tpu.ops.structured import StructuredElementOp
+
+        K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners[0])
+
+        def sop(A, k_in, k_out):
+            return StructuredElementOp(
+                A=jnp.asarray(A, dtype=dtype), ngl=mesh.ngl,
+                nelem=tuple(mesh.nelem), npts=tuple(mesh.npts),
+                k_in=k_in, k_out=k_out,
+            )
+
+        K = sop(K_el, dim, dim)
+        Rw = sop(Rw_el, dim_w, dim)
+        Rd = sop(Rd_el, 1, dim)
+        return KLESystem(K=K, Rw=Rw, Rd=Rd, diag_K=K.diagonal())
+
     vdofs = mesh.cell_dofs(dim)
     wdofs = mesh.cell_dofs(dim_w)
     sdofs = mesh.cell2node
-    n_vel = mesh.n_nodes * dim
-
-    if mesh.uniform:
-        K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners[0])
-    else:
-        K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners)
-
+    K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners)
     K = make_element_op(K_el, vdofs, vdofs, n_vel, dtype)
     Rw = make_element_op(Rw_el, wdofs, vdofs, n_vel, dtype)
     Rd = make_element_op(Rd_el, sdofs, vdofs, n_vel, dtype)
@@ -207,20 +225,32 @@ def build_operators(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
     mat_generator.py:157-190 (Operators.setValues/assembleAll).
     """
     dim, dim_w, dim_s = mesh.dim, mesh.dim_w, mesh.dim_s
-    vdofs = mesh.cell_dofs(dim)
-    wdofs = mesh.cell_dofs(dim_w)
-    sdofs = mesh.cell_dofs(dim_s)
     n = mesh.n_nodes
 
-    if mesh.uniform:
+    if mesh.uniform and hasattr(mesh, "npts"):
+        from pynama_tpu.ops.structured import StructuredElementOp
+
         SrT_el, Div_el, Curl_el, wvec_el = elem.kle_operators(mesh.cell_corners[0])
         wvec_el = np.broadcast_to(wvec_el, (mesh.n_cells, elem.nnode))
-    else:
-        SrT_el, Div_el, Curl_el, wvec_el = elem.kle_operators(mesh.cell_corners)
 
-    Curl = make_element_op(Curl_el, vdofs, wdofs, n * dim_w, dtype)
-    SrT = make_element_op(SrT_el, vdofs, sdofs, n * dim_s, dtype)
-    Div = make_element_op(Div_el, sdofs, vdofs, n * dim, dtype)
+        def sop(A, k_in, k_out):
+            return StructuredElementOp(
+                A=jnp.asarray(A, dtype=dtype), ngl=mesh.ngl,
+                nelem=tuple(mesh.nelem), npts=tuple(mesh.npts),
+                k_in=k_in, k_out=k_out,
+            )
+
+        Curl = sop(Curl_el, dim, dim_w)
+        SrT = sop(SrT_el, dim, dim_s)
+        Div = sop(Div_el, dim_s, dim)
+    else:
+        vdofs = mesh.cell_dofs(dim)
+        wdofs = mesh.cell_dofs(dim_w)
+        sdofs = mesh.cell_dofs(dim_s)
+        SrT_el, Div_el, Curl_el, wvec_el = elem.kle_operators(mesh.cell_corners)
+        Curl = make_element_op(Curl_el, vdofs, wdofs, n * dim_w, dtype)
+        SrT = make_element_op(SrT_el, vdofs, sdofs, n * dim_s, dtype)
+        Div = make_element_op(Div_el, sdofs, vdofs, n * dim, dtype)
 
     # assembled lumped node weights, then expanded per dof family
     w_node = np.zeros(n)

@@ -31,19 +31,21 @@ def cg_solve(
 ) -> CGResult:
     """Solve A x = b with preconditioned CG.
 
-    apply_A: linear SPD operator. m_inv: diagonal preconditioner (1/diag A),
-    or None for unpreconditioned. Stops when ||r||_2 <= max(rtol*||b||, atol).
+    apply_A: linear SPD operator. m_inv: preconditioner — a diagonal vector
+    (Jacobi) or a callable z = M^{-1}(r) (e.g. a multigrid V-cycle); None
+    for unpreconditioned. Stops when ||r||_2 <= max(rtol*||b||, atol).
     """
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if m_inv is None:
         m_inv = jnp.ones_like(b)
+    apply_M = m_inv if callable(m_inv) else (lambda r: m_inv * r)
 
     tol = jnp.maximum(rtol * jnp.sqrt(dot(b, b)), atol)
     tol2 = tol * tol
 
     r0 = b - apply_A(x0)
-    z0 = m_inv * r0
+    z0 = apply_M(r0)
     rz0 = dot(r0, z0)
     rr0 = dot(r0, r0)
 
@@ -58,7 +60,7 @@ def cg_solve(
         alpha = rz / jnp.where(pAp == 0, 1.0, pAp)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = m_inv * r
+        z = apply_M(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p

@@ -1,0 +1,267 @@
+"""Geometric multigrid V-cycle preconditioner for the KLE stiffness K.
+
+The reference sidesteps iterative-solver design entirely with a sparse
+direct LU (/root/reference/src/solver/ksp_solver.py:12-19); on TPU the
+equivalent "solve fast" primitive is CG preconditioned by a geometric
+V-cycle over the nested element hierarchy:
+
+  * levels: the same box re-meshed with nelem/2 per level (uniform
+    spectral elements, one shared elemental matrix per level),
+  * prolongation: the NATURAL INJECTION of the coarse Q_{ngl-1} space into
+    the fine space — coarse-element basis evaluated at the 2x2 (2x2x2)
+    fine subcell nodes, applied as batched GEMMs (MXU) with a
+    multiplicity-corrected scatter; restriction is its exact adjoint, so
+    the V-cycle is symmetric and CG-safe,
+  * smoother: damped Jacobi (pointwise, bandwidth-bound, XLA-fused),
+  * coarsest level: dense inverse of the masked operator, materialized
+    once at setup.
+
+Because coarse spectral-element spaces are exactly nested in fine ones,
+the rediscretized coarse operator coincides with the Galerkin operator up
+to reduced-quadrature differences in the penalty terms — in practice a
+spectrally-equivalent preconditioner that makes CG iteration counts
+mesh-independent (verified in tests/test_multigrid.py).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pynama_tpu.elements.lagrange import lagrange_basis
+from pynama_tpu.elements.quadrature import lobatto_points
+from pynama_tpu.elements.spectral import SpectralElement
+from pynama_tpu.kle import build_kle_system
+from pynama_tpu.mesh.structured import BoxMesh
+
+
+def _kron_all(mats):
+    out = mats[0]
+    for m in mats[1:]:
+        out = np.kron(out, m)
+    return out
+
+
+def _subcell_interp_matrices(ngl, dim):
+    """Coarse-element basis at each 2^dim fine-subcell's nodes.
+
+    Returns (2**dim, nnode, nnode): Interp[s] maps coarse-cell nodal
+    values to the s-th fine subcell's nodal values. Subcell index s is
+    lexicographic (x fastest), matching the fine-cell numbering.
+    """
+    nodes, _ = lobatto_points(ngl)
+    # fine subcell 0 spans [-1,0], subcell 1 spans [0,1] (per axis)
+    pts0 = (nodes - 1.0) / 2.0
+    pts1 = (nodes + 1.0) / 2.0
+    h0, _ = lagrange_basis(nodes, pts0)
+    h1, _ = lagrange_basis(nodes, pts1)
+    hs = [h0, h1]
+    out = []
+    for s in range(2**dim):
+        # bit d of s selects the half along axis d (x = bit 0)
+        factors = []
+        for axis in reversed(range(dim)):  # slowest axis first for kron
+            factors.append(hs[(s >> axis) & 1])
+        out.append(_kron_all(factors))
+    return np.stack(out)
+
+
+@dataclass
+class _Level:
+    mesh: BoxMesh
+    K: object                 # elemental K apply (StructuredElementOp)
+    diag: jnp.ndarray         # assembled diag of K (unmasked)
+    mask: jnp.ndarray         # Dirichlet free mask (coarse levels)
+    # transfer to the NEXT-COARSER level (None on the coarsest)
+    interp_k: Optional[jnp.ndarray] = None    # (2^dim, nnode*d, nnode*d)
+    mult_inv: Optional[jnp.ndarray] = None    # (..grid.., d) 1/multiplicity
+
+
+class MGPreconditioner:
+    """V-cycle preconditioner; builds once per (mesh, element)."""
+
+    def __init__(self, mesh: BoxMesh, elem: SpectralElement,
+                 dtype=jnp.float64, pre_smooth: int = 3, post_smooth: int = 3,
+                 omega: float = 0.8, coarsest_max_dofs: int = 1500,
+                 min_levels: int = 2):
+        self.dim = mesh.dim
+        self.dtype = dtype
+        self.pre, self.post, self.omega = pre_smooth, post_smooth, omega
+        self.elem = elem
+
+        meshes = [mesh]
+        while True:
+            ne = meshes[-1].nelem
+            if any(n % 2 for n in ne) or any(n <= 1 for n in ne):
+                break
+            coarse = BoxMesh(
+                nelem=tuple(n // 2 for n in ne), lower=mesh.lower,
+                upper=mesh.upper, ngl=mesh.ngl,
+            )
+            if coarse.n_nodes * mesh.dim < coarsest_max_dofs:
+                meshes.append(coarse)
+                break
+            meshes.append(coarse)
+        self.usable = len(meshes) >= min_levels and (
+            meshes[-1].n_nodes * mesh.dim <= coarsest_max_dofs * 2
+        )
+        if not self.usable:
+            return
+
+        interp = _subcell_interp_matrices(mesh.ngl, mesh.dim)
+        interp_k = np.stack(
+            [np.kron(m_, np.eye(mesh.dim)) for m_ in interp]
+        )  # interleaved-dof transfer blocks
+        self.levels: List[_Level] = []
+        for li, m in enumerate(meshes):
+            sysm = build_kle_system(m, elem, dtype)
+            dmask = np.ones(m.n_nodes * m.dim)
+            dmask[m.node_dofs(m.boundary_nodes, m.dim)] = 0.0
+            lvl = _Level(
+                mesh=m,
+                K=sysm.K,
+                diag=sysm.diag_K,
+                mask=jnp.asarray(dmask, dtype=dtype),
+            )
+            if li + 1 < len(meshes):
+                lvl.interp_k = jnp.asarray(interp_k, dtype=dtype)
+                # fine-node multiplicity under the subcell scatter
+                counts = np.zeros(m.n_nodes)
+                c2n = np.asarray(m.cell2node)
+                np.add.at(counts, c2n.reshape(-1), 1.0)
+                lvl.mult_inv = jnp.asarray(
+                    np.repeat(1.0 / counts, m.dim), dtype=dtype
+                )
+            self.levels.append(lvl)
+
+        # per-level lambda_max(D^-1 K) estimates (power iteration) for the
+        # Chebyshev smoother — the penalty terms push it well above 2, so a
+        # fixed damped-Jacobi weight would diverge
+        rng = np.random.default_rng(7)
+        self.lam_max = []
+        for lvl in self.levels:
+            dinv = 1.0 / (lvl.mask * lvl.diag + (1.0 - lvl.mask))
+            x = jnp.asarray(rng.normal(size=lvl.mesh.n_nodes * lvl.mesh.dim),
+                            dtype=dtype) * lvl.mask
+            lam = 1.0
+            for _ in range(25):
+                y = dinv * self._masked_apply(lvl, lvl.mask, x)
+                nrm = jnp.linalg.norm(y)
+                lam = float(nrm / jnp.linalg.norm(x))
+                x = y / nrm
+            self.lam_max.append(1.05 * lam)
+
+        # dense inverse on the coarsest level (masked operator)
+        last = self.levels[-1]
+        n = last.mesh.n_nodes * last.mesh.dim
+        eye = jnp.eye(n, dtype=dtype)
+        apply_cols = jax.vmap(
+            lambda col: self._masked_apply(last, last.mask, col), in_axes=1,
+            out_axes=1,
+        )
+        K_dense = apply_cols(eye)
+        self.coarse_inv = jnp.linalg.inv(K_dense)
+
+    # ------------------------------------------------------------------
+    def _masked_apply(self, lvl: _Level, mask, x):
+        return mask * lvl.K(mask * x) + (1.0 - mask) * x
+
+    def _subcell_params(self, coarse_mesh, s):
+        """(ncells, step, offset) for fine-grid access of subcell s."""
+        N = self.elem.ngl
+        dim = self.dim
+        bits = [(s >> a) & 1 for a in range(dim)]  # x, y[, z]
+        ncells = tuple(coarse_mesh.nelem)
+        step = 2 * (N - 1)
+        offset = tuple((N - 1) * b for b in bits)
+        return ncells, step, offset
+
+    def _prolong(self, lvl: _Level, next_mesh, xc):
+        """Natural injection coarse -> fine, scatter-free (strided slices)."""
+        from pynama_tpu.ops.structured import grid_gather, grid_scatter_add
+
+        d = self.dim
+        N = self.elem.ngl
+        cgrid = xc.reshape(tuple(reversed(next_mesh.npts)) + (d,))
+        xce = grid_gather(cgrid, N, tuple(next_mesh.nelem), N - 1,
+                          (0,) * d)  # (ncc, nnode*d)
+        fine = jnp.zeros(tuple(reversed(lvl.mesh.npts)) + (d,),
+                         dtype=xc.dtype)
+        for s in range(2**d):
+            vals = xce @ lvl.interp_k[s].T
+            ncells, step, offset = self._subcell_params(next_mesh, s)
+            fine = grid_scatter_add(fine, vals, N, ncells, step, offset)
+        return fine.reshape(-1) * lvl.mult_inv
+
+    def _restrict(self, lvl: _Level, next_mesh, rf):
+        """Exact adjoint of _prolong: fine residual -> coarse residual."""
+        from pynama_tpu.ops.structured import grid_gather, grid_scatter_add
+
+        d = self.dim
+        N = self.elem.ngl
+        rfm = (rf * lvl.mult_inv).reshape(
+            tuple(reversed(lvl.mesh.npts)) + (d,)
+        )
+        rc = jnp.zeros(tuple(reversed(next_mesh.npts)) + (d,),
+                       dtype=rf.dtype)
+        for s in range(2**d):
+            ncells, step, offset = self._subcell_params(next_mesh, s)
+            vals = grid_gather(rfm, N, ncells, step, offset)
+            contrib = vals @ lvl.interp_k[s]
+            rc = grid_scatter_add(rc, contrib, N, tuple(next_mesh.nelem),
+                                  N - 1, (0,) * d)
+        return rc.reshape(-1)
+
+    # ------------------------------------------------------------------
+    def build(self, fine_mask) -> Callable:
+        """Return M^{-1}(r) closing over the fine-level free-dof mask."""
+        assert self.usable
+        levels = self.levels
+        nlev = len(levels)
+        lam_max = self.lam_max
+
+        def smooth(li, mask, x, b, n):
+            """Chebyshev(n) smoothing on D^-1 K over [lam_max/4, lam_max].
+
+            Standard fourth-kind-free Chebyshev iteration (hypre-style):
+            pointwise, fuses to a few masked K applies + axpys.
+            """
+            lvl = levels[li]
+            lmax = lam_max[li]
+            lmin = lmax / 4.0
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            dinv = 1.0 / (mask * lvl.diag + (1.0 - mask))
+            r = b - self._masked_apply(lvl, mask, x)
+            d = (1.0 / theta) * (dinv * r)
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            for _ in range(n):
+                x = x + d
+                r = r - self._masked_apply(lvl, mask, d)
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+                rho = rho_new
+            return x + d
+
+        def vcycle(li, r):
+            lvl = levels[li]
+            mask = fine_mask if li == 0 else lvl.mask
+            if li == nlev - 1:
+                return self.coarse_inv @ r
+            x = smooth(li, mask, jnp.zeros_like(r), r, self.pre)
+            res = mask * (r - self._masked_apply(lvl, mask, x))
+            next_mesh = levels[li + 1].mesh
+            rc = levels[li + 1].mask * self._restrict(lvl, next_mesh, res)
+            xc = vcycle(li + 1, rc)
+            x = x + mask * self._prolong(lvl, next_mesh, xc)
+            x = smooth(li, mask, x, r, self.post)
+            return x
+
+        def minv(r):
+            return fine_mask * vcycle(0, fine_mask * r) + (1.0 - fine_mask) * r
+
+        return minv

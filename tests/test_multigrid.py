@@ -1,0 +1,102 @@
+"""Geometric multigrid preconditioner tests: symmetry, exact injection,
+near-mesh-independent CG iteration counts, and correctness of the
+preconditioned solve vs the Jacobi-CG reference.
+"""
+
+from functools import partial
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pynama_tpu.elements.spectral import SpectralElement
+from pynama_tpu.kle import build_kle_system
+from pynama_tpu.mesh.structured import BoxMesh
+from pynama_tpu.solvers.cg import cg_solve
+from pynama_tpu.solvers.multigrid import MGPreconditioner
+
+
+def setup(nelem, ngl=3):
+    mesh = BoxMesh(nelem=(nelem, nelem), lower=(0, 0), upper=(1, 1), ngl=ngl)
+    elem = SpectralElement(ngl, 2)
+    sys_ = build_kle_system(mesh, elem)
+    mask = np.ones(mesh.n_nodes * 2)
+    mask[mesh.node_dofs(mesh.boundary_nodes, 2)] = 0.0
+    return mesh, elem, sys_, jnp.asarray(mask)
+
+
+def tg_problem(mesh, sys_, mask):
+    x = 2 * np.pi * mesh.coords[:, 0]
+    y = 2 * np.pi * mesh.coords[:, 1]
+    vort = jnp.asarray(-4 * np.pi * np.cos(x) * np.cos(y))
+    u_bc = jnp.asarray(
+        np.stack([np.cos(x) * np.sin(y), -np.sin(x) * np.cos(y)], 1).reshape(-1)
+    )
+    b = sys_.rhs(vort, u_bc, mask)
+    return b, (1.0 - mask) * u_bc
+
+
+def test_injection_exact_and_adjoint():
+    mesh, elem, sys_, mask = setup(8)
+    mg = MGPreconditioner(mesh, elem)
+    assert mg.usable and len(mg.levels) >= 2
+    lvl, cm = mg.levels[0], mg.levels[1].mesh
+    # a global biquadratic lies in the coarse space -> injection is exact
+    f = lambda c: c[:, 0] ** 2 - 0.3 * c[:, 0] * c[:, 1] + 2 * c[:, 1] + 1
+    xc = np.stack([f(cm.coords), -f(cm.coords)], 1).reshape(-1)
+    xf = mg._prolong(lvl, cm, jnp.asarray(xc))
+    xf_e = np.stack([f(mesh.coords), -f(mesh.coords)], 1).reshape(-1)
+    np.testing.assert_allclose(np.asarray(xf), xf_e, atol=1e-12)
+    # restriction is the exact adjoint
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=cm.n_nodes * 2))
+    bb = jnp.asarray(rng.normal(size=mesh.n_nodes * 2))
+    lhs = float(jnp.dot(mg._prolong(lvl, cm, a), bb))
+    rhs = float(jnp.dot(a, mg._restrict(lvl, cm, bb)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_mg_iterations_nearly_mesh_independent():
+    iters = {}
+    for nelem in (16, 32, 64):
+        mesh, elem, sys_, mask = setup(nelem)
+        mg = MGPreconditioner(mesh, elem)
+        minv = mg.build(mask)
+        b, x0 = tg_problem(mesh, sys_, mask)
+        res = cg_solve(partial(sys_.apply_masked, free_mask=mask), b, x0=x0,
+                       m_inv=minv, rtol=1e-10, maxiter=1000)
+        iters[nelem] = int(res.iters)
+    assert iters[64] < 90, iters
+    assert iters[64] < 3 * iters[16], iters  # near mesh-independence
+
+
+def test_mg_solution_matches_jacobi():
+    mesh, elem, sys_, mask = setup(32)
+    mg = MGPreconditioner(mesh, elem)
+    b, x0 = tg_problem(mesh, sys_, mask)
+    A = partial(sys_.apply_masked, free_mask=mask)
+    rj = cg_solve(A, b, x0=x0, m_inv=sys_.jacobi_inv(mask), rtol=1e-11,
+                  maxiter=30000)
+    rm = cg_solve(A, b, x0=x0, m_inv=mg.build(mask), rtol=1e-11, maxiter=1000)
+    err = float(jnp.linalg.norm(rm.x - rj.x) / jnp.linalg.norm(rj.x))
+    assert err < 1e-8, err
+
+
+def test_unusable_on_odd_mesh_falls_back():
+    mesh = BoxMesh(nelem=(7, 7), lower=(0, 0), upper=(1, 1), ngl=3)
+    elem = SpectralElement(3, 2)
+    mg = MGPreconditioner(mesh, elem)
+    assert not mg.usable
+
+
+def test_problem_uses_mg_and_stays_accurate():
+    from pynama_tpu.cases.uniform import UniformFlowProblem
+    from tests.test_cases import make_config
+
+    cfg = make_config((8, 8), 3)
+    p = UniformFlowProblem(cfg).setup()
+    assert p._minv is not None  # MG active
+    u = p.solve_kle(0.0, jnp.zeros(p.mesh.n_nodes), rtol=1e-14, maxiter=5000,
+                    restarts=2)
+    vel_e, _ = p.exact_fields(0.0)
+    assert float(jnp.linalg.norm(u - vel_e.reshape(-1))) < 1e-12

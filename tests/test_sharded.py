@@ -40,6 +40,7 @@ def test_slab_round_trip():
 @pytest.mark.parametrize("n_dev", [2, 4])
 def test_sharded_taylor_green_matches_single(n_dev):
     cfg = make_config((4, 8), 3, rho=0.5, mu=0.01, end=0.02, max_steps=20)
+    cfg["multigrid"] = False
     p = CustomFuncProblem(cfg, case="taylor-green").setup()
     w_ref, t_ref, n_ref = p.run()
 
@@ -59,6 +60,8 @@ def test_sharded_taylor_green_matches_single(n_dev):
 def test_sharded_cavity_matches_single():
     cfg = make_config((4, 8), 3, rho=1.0, mu=0.1, end=0.1, max_steps=10)
     cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    # the sharded path uses Jacobi-CG; compare the same algorithm
+    cfg["multigrid"] = False
     p = CavityProblem(cfg).setup()
     w_ref, t_ref, n_ref = p.run(max_steps=4)
 

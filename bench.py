@@ -36,7 +36,7 @@ sys.path.insert(0, REPO)
 # residual parity gate runs in float64 on CPU in the test suite.
 # Default size: largest that completes reliably with the current Jacobi-CG
 # solver; raise toward 360 (1M dofs) as the preconditioner work lands.
-NELEM = int(os.environ.get("BENCH_NELEM", "32"))
+NELEM = int(os.environ.get("BENCH_NELEM", "384"))
 NGL = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "3"))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
@@ -119,7 +119,8 @@ def bench_baseline():
     from pynama_tpu.cases.cavity import CavityProblem
     from pynama_tpu.kle import v_tens_v
 
-    p = CavityProblem(cavity_config()).setup()
+    # the baseline only needs the assembled matrices, not our MG hierarchy
+    p = CavityProblem({**cavity_config(), "multigrid": False}).setup()
     m = p.mesh
     dim, dim_w, dim_s = m.dim, m.dim_w, m.dim_s
     nv, nw, ns_ = m.n_nodes * dim, m.n_nodes * dim_w, m.n_nodes * dim_s

@@ -28,79 +28,105 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _axis_slices(N, ncells, step, offset):
-    """Per-local-index (start, stop) along one axis; stride = step."""
-    return [
-        (offset + l, offset + l + step * (ncells - 1) + 1) for l in range(N)
-    ]
+def _axis_index(l, offset, step, nc):
+    """Block/sub index for local node l along one axis.
+
+    Node grid rows decompose as r = b*step + s with s < step; local node
+    l of cell b sits at r = offset + l + b*step, so
+      l_eff = offset + l < step  ->  (blocks [0, nc),  sub l_eff)
+      l_eff == step              ->  (blocks [1, nc+1), sub 0)
+    Both are CONTIGUOUS slices of the (nc+1, step) block-reshaped axis —
+    no strided memory access anywhere (XLA TPU serializes strided
+    scatter/update; this keeps everything as plain static slices).
+    """
+    l_eff = offset + l
+    if l_eff < step:
+        return slice(0, nc), l_eff
+    assert l_eff == step
+    return slice(1, nc + 1), 0
+
+
+def _block_pad(grid, ncells, step):
+    """Pad each spatial axis to (nc+1)*step and reshape into blocks."""
+    dim = len(ncells)
+    k = grid.shape[-1]
+    # spatial axes are reversed (z, y, x) relative to ncells (x, y, z)
+    ncs = tuple(reversed(ncells))
+    pads = tuple(
+        (0, (nc + 1) * step - grid.shape[i]) for i, nc in enumerate(ncs)
+    ) + ((0, 0),)
+    g = jnp.pad(grid, pads)
+    shape = ()
+    for nc in ncs:
+        shape += (nc + 1, step)
+    return g.reshape(shape + (k,))
 
 
 def grid_gather(grid, N, ncells, step, offset):
-    """Gather element-local nodal values from a node grid.
+    """Gather element-local nodal values from a node grid (scatter-free).
 
-    grid: (..., np_axis0, np_axis1[, np_axis2], k) with leading node axes in
-    z,y,x order matching the lexicographic global numbering (x fastest).
-    Returns (ncells_total, N**dim * k) with local node index lexicographic
-    (x fastest) and dof interleaved (node-major).
+    grid: (np_z, np_y, np_x..., k) node axes slowest-first matching the
+    lexicographic global numbering. Returns (ncells_total, N**dim * k),
+    local node index lexicographic (x fastest), dof node-major.
     """
     dim = len(ncells)
-    k = grid.shape[-1]
+    core = _block_pad(grid, ncells, step)
     pieces = []
     if dim == 2:
-        sy = _axis_slices(N, ncells[1], step, offset[1])  # y axis (rows)
-        sx = _axis_slices(N, ncells[0], step, offset[0])
+        nx, ny = ncells
         for ly in range(N):
+            by, sy = _axis_index(ly, offset[1], step, ny)
             for lx in range(N):
-                (y0, y1), (x0, x1) = sy[ly], sx[lx]
-                pieces.append(grid[y0:y1:step, x0:x1:step, :])
+                bx, sx = _axis_index(lx, offset[0], step, nx)
+                pieces.append(core[by, sy, bx, sx, :])
         xe = jnp.stack(pieces, axis=2)  # (ny, nx, N*N, k)
-        return xe.reshape(ncells[1] * ncells[0], N * N * k)
-    sz = _axis_slices(N, ncells[2], step, offset[2])
-    sy = _axis_slices(N, ncells[1], step, offset[1])
-    sx = _axis_slices(N, ncells[0], step, offset[0])
+        return xe.reshape(ny * nx, -1)
+    nx, ny, nz = ncells
     for lz in range(N):
+        bz, sz = _axis_index(lz, offset[2], step, nz)
         for ly in range(N):
+            by, sy = _axis_index(ly, offset[1], step, ny)
             for lx in range(N):
-                (z0, z1), (y0, y1), (x0, x1) = sz[lz], sy[ly], sx[lx]
-                pieces.append(grid[z0:z1:step, y0:y1:step, x0:x1:step, :])
-    xe = jnp.stack(pieces, axis=3)  # (nz, ny, nx, N^3, k)
-    return xe.reshape(int(np.prod(ncells)), N**3 * k)
+                bx, sx = _axis_index(lx, offset[0], step, nx)
+                pieces.append(core[bz, sz, by, sy, bx, sx, :])
+    xe = jnp.stack(pieces, axis=3)
+    return xe.reshape(nz * ny * nx, -1)
 
 
 def grid_scatter_add(out_grid, vals, N, ncells, step, offset):
-    """Adjoint of grid_gather: slice-add element values into a node grid.
+    """Adjoint of grid_gather: block-contiguous slice-adds.
 
     vals: (ncells_total, N**dim * k). Returns the updated grid.
     """
     dim = len(ncells)
     k = out_grid.shape[-1]
+    core = _block_pad(out_grid, ncells, step)
+    shp = tuple(reversed(ncells))
     if dim == 2:
-        v = vals.reshape(ncells[1], ncells[0], N * N, k)
-        sy = _axis_slices(N, ncells[1], step, offset[1])
-        sx = _axis_slices(N, ncells[0], step, offset[0])
+        nx, ny = ncells
+        v = vals.reshape(ny, nx, N * N, k)
         n = 0
         for ly in range(N):
+            by, sy = _axis_index(ly, offset[1], step, ny)
             for lx in range(N):
-                (y0, y1), (x0, x1) = sy[ly], sx[lx]
-                out_grid = out_grid.at[y0:y1:step, x0:x1:step, :].add(
-                    v[:, :, n, :]
-                )
+                bx, sx = _axis_index(lx, offset[0], step, nx)
+                core = core.at[by, sy, bx, sx, :].add(v[:, :, n, :])
                 n += 1
-        return out_grid
-    v = vals.reshape(ncells[2], ncells[1], ncells[0], N**3, k)
-    sz = _axis_slices(N, ncells[2], step, offset[2])
-    sy = _axis_slices(N, ncells[1], step, offset[1])
-    sx = _axis_slices(N, ncells[0], step, offset[0])
+        flat = core.reshape((ny + 1) * step, (nx + 1) * step, k)
+        return flat[: out_grid.shape[0], : out_grid.shape[1], :]
+    nx, ny, nz = ncells
+    v = vals.reshape(nz, ny, nx, N**3, k)
     n = 0
     for lz in range(N):
+        bz, sz = _axis_index(lz, offset[2], step, nz)
         for ly in range(N):
+            by, sy = _axis_index(ly, offset[1], step, ny)
             for lx in range(N):
-                (z0, z1), (y0, y1), (x0, x1) = sz[lz], sy[ly], sx[lx]
-                out_grid = out_grid.at[z0:z1:step, y0:y1:step, x0:x1:step, :].add(
-                    v[:, :, :, n, :]
-                )
+                bx, sx = _axis_index(lx, offset[0], step, nx)
+                core = core.at[bz, sz, by, sy, bx, sx, :].add(v[:, :, :, n, :])
                 n += 1
-    return out_grid
+    flat = core.reshape((nz + 1) * step, (ny + 1) * step, (nx + 1) * step, k)
+    return flat[: out_grid.shape[0], : out_grid.shape[1], : out_grid.shape[2], :]
 
 
 @jax.tree_util.register_pytree_node_class

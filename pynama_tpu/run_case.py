@@ -209,7 +209,7 @@ def main(argv=None):
     ap.add_argument("-case", required=True, choices=sorted(CASE_CLASSES))
     ap.add_argument("-config", default=None, help="explicit YAML path")
     ap.add_argument("-test", default=None,
-                    choices=["kle", "operators", "chartkle"])
+                    choices=["kle", "chart", "operators", "chartkle"])
     ap.add_argument("-log", default="INFO")
     ap.add_argument("-ngl", type=int, default=None)
     ap.add_argument("-nelem", type=int, nargs="+", default=None)
@@ -238,7 +238,7 @@ def main(argv=None):
     if args.nelem is not None:
         args.nelem = tuple(args.nelem)
 
-    if args.test == "kle":
+    if args.test in ("kle", "chart"):
         chart_kle(args, config)
     elif args.test == "operators":
         chart_operators(args, config)

@@ -144,15 +144,22 @@ class MGPreconditioner:
         self.lam_max = []
         for lvl in self.levels:
             dinv = 1.0 / (lvl.mask * lvl.diag + (1.0 - lvl.mask))
-            x = jnp.asarray(rng.normal(size=lvl.mesh.n_nodes * lvl.mesh.dim),
-                            dtype=dtype) * lvl.mask
-            lam = 1.0
-            for _ in range(25):
+            x0 = jnp.asarray(rng.normal(size=lvl.mesh.n_nodes * lvl.mesh.dim),
+                             dtype=dtype) * lvl.mask
+
+            @jax.jit
+            def power(x, dinv=dinv, lvl=lvl):
+                def body(_, carry):
+                    x, _ = carry
+                    y = dinv * self._masked_apply(lvl, lvl.mask, x)
+                    nrm = jnp.linalg.norm(y)
+                    return (y / nrm, nrm / jnp.linalg.norm(x) * 0 + nrm)
+                # track ratio of last step: run 24 normalized steps then one
+                x, _ = jax.lax.fori_loop(0, 24, body, (x, jnp.asarray(1.0, dtype)))
                 y = dinv * self._masked_apply(lvl, lvl.mask, x)
-                nrm = jnp.linalg.norm(y)
-                lam = float(nrm / jnp.linalg.norm(x))
-                x = y / nrm
-            self.lam_max.append(1.05 * lam)
+                return jnp.linalg.norm(y) / jnp.linalg.norm(x)
+
+            self.lam_max.append(1.05 * float(power(x0)))
 
         # dense inverse on the coarsest level (masked operator)
         last = self.levels[-1]

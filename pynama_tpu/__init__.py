@@ -22,6 +22,11 @@ require double precision. Speed paths pass explicit float32 dtypes.
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+# TPU matmuls default to bfloat16 multiplies; the ~1e-2 relative error
+# destabilizes the Chebyshev-smoothed multigrid V-cycle (verified: V-cycle
+# diverges on TPU, converges on CPU at identical f32). Scientific solves
+# need true float32 GEMMs.
+_jax.config.update("jax_default_matmul_precision", "float32")
 
 __version__ = "0.1.0"
 

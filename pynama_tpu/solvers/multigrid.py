@@ -161,16 +161,22 @@ class MGPreconditioner:
 
             self.lam_max.append(1.05 * float(power(x0)))
 
-        # dense inverse on the coarsest level (masked operator)
+        # dense inverse on the coarsest level (masked operator). The
+        # penalty terms make kappa(K) ~ 1e5-1e6, so a float32 inverse is
+        # useless (relative error O(kappa * eps)): materialize and invert
+        # in float64 on host numpy, then store in the compute dtype.
         last = self.levels[-1]
-        n = last.mesh.n_nodes * last.mesh.dim
-        eye = jnp.eye(n, dtype=dtype)
-        apply_cols = jax.vmap(
-            lambda col: self._masked_apply(last, last.mask, col), in_axes=1,
-            out_axes=1,
-        )
-        K_dense = apply_cols(eye)
-        self.coarse_inv = jnp.linalg.inv(K_dense)
+        cm = last.mesh
+        n = cm.n_nodes * cm.dim
+        K_el, _, _ = elem.kle_matrices(cm.cell_corners[0])  # float64 numpy
+        vd = np.asarray(cm.cell_dofs(cm.dim), dtype=np.int64)
+        K_full = np.zeros((n, n))
+        for e in range(cm.n_cells):
+            idx = vd[e]
+            K_full[np.ix_(idx, idx)] += K_el
+        m64 = np.asarray(last.mask, dtype=np.float64)
+        K_masked = (m64[:, None] * K_full * m64[None, :]) + np.diag(1.0 - m64)
+        self.coarse_inv = jnp.asarray(np.linalg.inv(K_masked), dtype=dtype)
 
     # ------------------------------------------------------------------
     def _masked_apply(self, lvl: _Level, mask, x):

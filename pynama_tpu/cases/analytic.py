@@ -32,7 +32,9 @@ class CustomFuncProblem(FreeSlipProblem):
 
         Parity: CustomFuncCase.applyBoundaryConditions (custom_func.py:76-83).
         """
-        return self.vel_fn(self._coords, self.nu, t).reshape(-1)
+        return self.vel_fn(self._coords, self.nu, t).reshape(
+            self._gshape(self.dim)
+        )
 
     def vort_bc(self, t, vort):
         """Clamp boundary vorticity to the exact solution.
@@ -41,13 +43,17 @@ class CustomFuncProblem(FreeSlipProblem):
         applyBoundaryConditions call (custom_func.py:81); here the clamp is
         an explicit mask blend.
         """
-        exact = self.vort_fn(self._coords, self.nu, t).reshape(-1)
+        exact = self.vort_fn(self._coords, self.nu, t).reshape(
+            self._gshape(self.dim_w)
+        )
         m = self.bc_vort_mask
         return vort * (1.0 - m) + exact * m
 
     def initial_vorticity(self):
         """Parity: computeInitialCondition (custom_func.py:57-61)."""
-        return self.vort_fn(self._coords, self.nu, self.t_start).reshape(-1)
+        return self.vort_fn(self._coords, self.nu, self.t_start).reshape(
+            self._gshape(self.dim_w)
+        )
 
     def exact_fields(self, t):
         vel = self.vel_fn(self._coords, self.nu, t)

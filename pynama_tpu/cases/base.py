@@ -92,7 +92,7 @@ class BaseProblem:
         return vort
 
     def initial_vorticity(self):
-        return jnp.zeros(self.mesh.n_nodes * self.dim_w, dtype=self.dtype)
+        return jnp.zeros(self._gshape(self.dim_w), dtype=self.dtype)
 
     # -- setup ----------------------------------------------------------
     def setup(self):
@@ -111,6 +111,13 @@ class BaseProblem:
             self.name, self.dim, self.ngl, self.mesh.n_cells, self.mesh.n_nodes,
         )
         return self
+
+    def _gshape(self, k):
+        """Grid layout of a k-components-per-node field (TPU-safe)."""
+        return tuple(reversed(self.mesh.npts)) + (k,)
+
+    def zero_vel(self):
+        return jnp.zeros(self._gshape(self.dim), dtype=self.dtype)
 
     def setup_preconditioner(self):
         """Geometric-multigrid preconditioner on uniform box meshes.
@@ -179,15 +186,18 @@ class BaseProblem:
             from pynama_tpu.io.checkpoint import load_checkpoint
 
             ck = load_checkpoint(resume_from)
-            vort = jnp.asarray(ck["vort"], dtype=dtype)
-            vel = jnp.asarray(ck["vel"], dtype=dtype)
-            f1 = jnp.asarray(ck["f1"], dtype=dtype)
+            vort = jnp.asarray(ck["vort"].reshape(self._gshape(self.dim_w)),
+                               dtype=dtype)
+            vel = jnp.asarray(ck["vel"].reshape(self._gshape(self.dim)),
+                              dtype=dtype)
+            f1 = jnp.asarray(ck["f1"].reshape(self._gshape(self.dim_w)),
+                             dtype=dtype)
             t = jnp.asarray(ck["t"], dtype=dtype)
             dt = jnp.asarray(ck["dt"], dtype=dtype)
             n = ck["step"]
         else:
             vort = self.initial_vorticity()
-            vel = jnp.zeros(self.mesh.n_nodes * self.dim, dtype=dtype)
+            vel = self.zero_vel()
             t = jnp.asarray(self.t_start, dtype=dtype)
             dt = jnp.asarray(self.dt0, dtype=dtype)
             f1, vel = rhs(t, vort, vel)
@@ -206,12 +216,16 @@ class BaseProblem:
 
                 save_checkpoint(
                     checkpoint_path, step=n, t=float(t), dt=float(dt),
-                    vort=np.asarray(vort), vel=np.asarray(vel),
-                    f1=np.asarray(f1),
+                    vort=np.asarray(vort).reshape(-1),
+                    vel=np.asarray(vel).reshape(-1),
+                    f1=np.asarray(f1).reshape(-1),
                 )
-        self.vort = vort
-        self.vel = self.solve_kle(t, vort)
-        return vort, float(t), n
+        # public attributes stay flat (interleaved-dof) at the API boundary
+        self.vort = jnp.asarray(np.asarray(vort).reshape(-1))
+        self.vel = jnp.asarray(
+            np.asarray(self.solve_kle(t, vort)).reshape(-1)
+        )
+        return self.vort, float(t), n
 
 
 class FreeSlipProblem(BaseProblem):
@@ -224,10 +238,14 @@ class FreeSlipProblem(BaseProblem):
         mask = np.ones(self.mesh.n_nodes * self.dim)
         bdofs = self.mesh.node_dofs(self.mesh.boundary_nodes, self.dim)
         mask[bdofs] = 0.0
-        self.free_mask = jnp.asarray(mask, dtype=self.dtype)
+        self.free_mask = jnp.asarray(
+            mask.reshape(self._gshape(self.dim)), dtype=self.dtype
+        )
         wmask = np.zeros(self.mesh.n_nodes * self.dim_w)
         wmask[self.mesh.node_dofs(self.mesh.boundary_nodes, self.dim_w)] = 1.0
-        self.bc_vort_mask = jnp.asarray(wmask, dtype=self.dtype)
+        self.bc_vort_mask = jnp.asarray(
+            wmask.reshape(self._gshape(self.dim_w)), dtype=self.dtype
+        )
 
     def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None, restarts=1):
         """Parity: FreeSlip.solveKLE (base_problem.py:479-481).
@@ -257,9 +275,12 @@ class FreeSlipProblem(BaseProblem):
         for tau in viscous_times:
             t = (tau**2) / (4.0 * self.nu)
             vel_e, vort_e = exact_fields(t)
-            u = self.solve_kle(t, vort_e.reshape(-1), rtol=1e-13,
-                               maxiter=30000, restarts=2)
-            errors.append(float(jnp.linalg.norm(u - vel_e.reshape(-1))))
+            u = self.solve_kle(
+                t, jnp.asarray(np.asarray(vort_e).reshape(self._gshape(self.dim_w))),
+                rtol=1e-13, maxiter=30000, restarts=2,
+            )
+            diff = np.asarray(u).reshape(-1) - np.asarray(vel_e).reshape(-1)
+            errors.append(float(np.linalg.norm(diff)))
         return errors
 
 

@@ -73,13 +73,15 @@ class NoSlipProblem(BaseProblem):
         # single lid (cavity) corners on the lid keep the lid velocity.
         # Zero normal components always (u_bc starts at zero).
 
+        gshape = self._gshape(dim)
         self.free_mask = jnp.asarray(
-            (~(set_fs | fs_free)).astype(np.float64), dtype=self.dtype
+            (~(set_fs | fs_free)).astype(np.float64).reshape(gshape),
+            dtype=self.dtype,
         )
         self.free_mask_fs = jnp.asarray(
-            (~set_fs).astype(np.float64), dtype=self.dtype
+            (~set_fs).astype(np.float64).reshape(gshape), dtype=self.dtype
         )
-        self._u_bc = jnp.asarray(u_bc, dtype=self.dtype)
+        self._u_bc = jnp.asarray(u_bc.reshape(gshape), dtype=self.dtype)
         # dofs free at FS stage but pinned at the final stage
         self._fsfree = self.free_mask_fs - self.free_mask
 
@@ -111,4 +113,4 @@ class CavityProblem(NoSlipProblem):
     """Parity: Cavity (cavity.py:5-82). IC: vort = 0 (cavity.py:50-51)."""
 
     def initial_vorticity(self):
-        return jnp.zeros(self.mesh.n_nodes * self.dim_w, dtype=self.dtype)
+        return jnp.zeros(self._gshape(self.dim_w), dtype=self.dtype)

@@ -62,7 +62,9 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
     def setup_bc(self):
         super().setup_bc()
         u = np.tile(np.asarray(self.cte_value), self.mesh.n_nodes)
-        self._u_bc = jnp.asarray(u, dtype=self.dtype)
+        self._u_bc = jnp.asarray(
+            u.reshape(self._gshape(self.dim)), dtype=self.dtype
+        )
 
     def vel_bc(self, t):
         return self._u_bc
@@ -84,7 +86,12 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
         def post(t, vort, vel_ws, Xb, Ub):
             vel = self.solve_kle(t, vort, x0=vel_ws)
             nodes, weights = self.coupling.windows(Xb)
-            vel, q = self.coupling.solve_correction(vel, Ub, nodes, weights)
+            # the coupling works on flat interleaved dofs (IBM meshes are
+            # small; the TPU reshape issue needs >500 pts/axis)
+            vel_f, q = self.coupling.solve_correction(
+                vel.reshape(-1), Ub, nodes, weights
+            )
+            vel = vel_f.reshape(vel.shape)
             vort_new = self.operators.curl(vel)
             return vort_new, vel, q
 
@@ -112,9 +119,12 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             from pynama_tpu.io.checkpoint import load_checkpoint
 
             ck = load_checkpoint(resume_from)
-            vort = jnp.asarray(ck["vort"], dtype=dtype)
-            vel = jnp.asarray(ck["vel"], dtype=dtype)
-            f1 = jnp.asarray(ck["f1"], dtype=dtype)
+            vort = jnp.asarray(ck["vort"].reshape(self._gshape(self.dim_w)),
+                               dtype=dtype)
+            vel = jnp.asarray(ck["vel"].reshape(self._gshape(self.dim)),
+                              dtype=dtype)
+            f1 = jnp.asarray(ck["f1"].reshape(self._gshape(self.dim_w)),
+                             dtype=dtype)
             t = jnp.asarray(ck["t"], dtype=dtype)
             dt = jnp.asarray(ck["dt"], dtype=dtype)
             n = ck["step"]
@@ -126,7 +136,7 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             Ub = jnp.asarray(self.body.velocity_at(float(t)), dtype=dtype)
         else:
             vort = self.initial_vorticity()
-            vel = jnp.zeros(self.mesh.n_nodes * self.dim, dtype=dtype)
+            vel = self.zero_vel()
             t = jnp.asarray(self.t_start, dtype=dtype)
             dt = jnp.asarray(self.dt0, dtype=dtype)
             # initial condition: zero vorticity, KLE solve + correction
@@ -167,13 +177,15 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
 
                 save_checkpoint(
                     checkpoint_path, step=n, t=float(t), dt=float(dt),
-                    vort=np.asarray(vort), vel=np.asarray(vel),
-                    f1=np.asarray(f1),
+                    vort=np.asarray(vort).reshape(-1),
+                    vel=np.asarray(vel).reshape(-1),
+                    f1=np.asarray(f1).reshape(-1),
                     extra={"cd": self.cd_history, "cl": self.cl_history,
                            "times": self.t_history},
                 )
-        self.vort, self.vel = vort, vel
-        return vort, float(t), n
+        self.vort = jnp.asarray(np.asarray(vort).reshape(-1))
+        self.vel = jnp.asarray(np.asarray(vel).reshape(-1))
+        return self.vort, float(t), n
 
 
 class ImmersedBoundaryDynamicProblem(ImmersedBoundaryProblem):

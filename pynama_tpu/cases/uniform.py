@@ -19,7 +19,9 @@ class UniformFlowProblem(FreeSlipProblem):
     def setup_bc(self):
         super().setup_bc()
         u = np.tile(np.asarray(self.cte_value), self.mesh.n_nodes)
-        self._u_bc = jnp.asarray(u, dtype=self.dtype)
+        self._u_bc = jnp.asarray(
+            u.reshape(self._gshape(self.dim)), dtype=self.dtype
+        )
 
     def vel_bc(self, t):
         return self._u_bc

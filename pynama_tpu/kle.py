@@ -29,7 +29,7 @@ import numpy as np
 from pynama_tpu.elements.spectral import SpectralElement
 from pynama_tpu.mesh.structured import BoxMesh
 from pynama_tpu.ops.assembly import ElementOp, make_element_op
-from pynama_tpu.solvers.cg import CGResult, cg_solve
+from pynama_tpu.solvers.cg import CGResult, cg_solve, sumdot
 
 
 @jax.tree_util.register_pytree_node_class
@@ -65,7 +65,9 @@ class KLESystem:
         return free_mask * (self.Rw(vort) - self.K(bc_part)) + bc_part
 
     def jacobi_inv(self, free_mask):
-        d = free_mask * self.diag_K + (1.0 - free_mask)
+        diag = (self.diag_K.reshape(free_mask.shape)
+                if free_mask.ndim > 1 else self.diag_K)
+        d = free_mask * diag + (1.0 - free_mask)
         return 1.0 / d
 
     def solve(
@@ -78,7 +80,7 @@ class KLESystem:
         atol: float = 0.0,
         maxiter: int = 20000,
         restarts: int = 2,
-        dot=jnp.dot,
+        dot=sumdot,
         m_inv=None,
     ) -> CGResult:
         """Solve the KLE for velocity given vorticity and BC values.
@@ -133,14 +135,20 @@ class ProjectionOperators:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    def _w(self, w, out):
+        return w.reshape(out.shape) if out.ndim > 1 else w
+
     def curl(self, vel):
-        return self.Curl(vel) / self.w_curl
+        out = self.Curl(vel)
+        return out / self._w(self.w_curl, out)
 
     def strain_rate(self, vel):
-        return self.SrT(vel) / self.w_srt
+        out = self.SrT(vel)
+        return out / self._w(self.w_srt, out)
 
     def div_srt(self, s):
-        return self.DivSrT(s) / self.w_div
+        out = self.DivSrT(s)
+        return out / self._w(self.w_div, out)
 
 
 def v_tens_v(vel, dim):
@@ -148,20 +156,18 @@ def v_tens_v(vel, dim):
 
     Parity: base_problem.py:234-252 (computeVtensV).
     2D: [vx^2, vx vy, vy^2]; 3D adds [vy vz, vz^2, vz vx].
+    Layout-polymorphic: flat interleaved vector or (..., dim) grid.
     """
-    v = vel.reshape(-1, dim)
+    flat = vel.ndim == 1
+    v = vel.reshape(-1, dim) if flat else vel
+    c = lambda i: v[..., i]
     if dim == 2:
-        comps = [v[:, 0] * v[:, 0], v[:, 0] * v[:, 1], v[:, 1] * v[:, 1]]
+        comps = [c(0) * c(0), c(0) * c(1), c(1) * c(1)]
     else:
-        comps = [
-            v[:, 0] * v[:, 0],
-            v[:, 0] * v[:, 1],
-            v[:, 1] * v[:, 1],
-            v[:, 1] * v[:, 2],
-            v[:, 2] * v[:, 2],
-            v[:, 2] * v[:, 0],
-        ]
-    return jnp.stack(comps, axis=1).reshape(-1)
+        comps = [c(0) * c(0), c(0) * c(1), c(1) * c(1),
+                 c(1) * c(2), c(2) * c(2), c(2) * c(0)]
+    out = jnp.stack(comps, axis=-1)
+    return out.reshape(-1) if flat else out
 
 
 def ns_rhs(system_ops: ProjectionOperators, vel, mu, rho, dim):

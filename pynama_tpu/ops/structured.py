@@ -93,40 +93,87 @@ def grid_gather(grid, N, ncells, step, offset):
     return xe.reshape(nz * ny * nx, -1)
 
 
-def grid_scatter_add(out_grid, vals, N, ncells, step, offset):
-    """Adjoint of grid_gather: block-contiguous slice-adds.
+def _axis_map(l, offset, step, ):
+    """(pad_shift, sub) for local node l: which block shift and sub-row.
 
-    vals: (ncells_total, N**dim * k). Returns the updated grid.
+    shift 0 = same block, shift 1 = next block (the shared closing plane).
+    """
+    l_eff = offset + l
+    if l_eff < step:
+        return 0, l_eff
+    assert l_eff == step
+    return 1, 0
+
+
+def grid_scatter_add(out_grid, vals, N, ncells, step, offset):
+    """Adjoint of grid_gather, built from pads + adds + one stack.
+
+    vals: (ncells_total, N**dim * k). Returns out_grid + assembled values.
+
+    NO scatter and NO .at[] updates anywhere: chained block-slice
+    `.at[].add` miscompiles on the TPU backend above ~250k nodes
+    (verified: fused K(v)+0.5v wrong on 8% of dofs while each piece is
+    exact). Instead, every (sub_y, sub_x) plane of the block decomposition
+    is the SUM of zero-padded per-local-node value arrays, stacked and
+    reshaped back to the node grid — pure functional ops the compiler
+    handles correctly.
     """
     dim = len(ncells)
     k = out_grid.shape[-1]
-    core = _block_pad(out_grid, ncells, step)
-    shp = tuple(reversed(ncells))
+    dtype = out_grid.dtype
     if dim == 2:
         nx, ny = ncells
         v = vals.reshape(ny, nx, N * N, k)
+        slabs = {}
         n = 0
         for ly in range(N):
-            by, sy = _axis_index(ly, offset[1], step, ny)
+            shy, sy = _axis_map(ly, offset[1], step)
             for lx in range(N):
-                bx, sx = _axis_index(lx, offset[0], step, nx)
-                core = core.at[by, sy, bx, sx, :].add(v[:, :, n, :])
+                shx, sx = _axis_map(lx, offset[0], step)
+                term = jnp.pad(
+                    v[:, :, n, :],
+                    ((shy, 1 - shy), (shx, 1 - shx), (0, 0)),
+                )
+                key = (sy, sx)
+                slabs[key] = slabs.get(key, 0) + term
                 n += 1
+        zero = jnp.zeros((ny + 1, nx + 1, k), dtype=dtype)
+        rows = []
+        for sy in range(step):
+            cols = [slabs.get((sy, sx), zero) for sx in range(step)]
+            rows.append(jnp.stack(cols, axis=2))   # (ny+1, nx+1, step, k)
+        core = jnp.stack(rows, axis=1)             # (ny+1, step, nx+1, step, k)
         flat = core.reshape((ny + 1) * step, (nx + 1) * step, k)
-        return flat[: out_grid.shape[0], : out_grid.shape[1], :]
+        return out_grid + flat[: out_grid.shape[0], : out_grid.shape[1], :]
     nx, ny, nz = ncells
     v = vals.reshape(nz, ny, nx, N**3, k)
+    slabs = {}
     n = 0
     for lz in range(N):
-        bz, sz = _axis_index(lz, offset[2], step, nz)
+        shz, sz = _axis_map(lz, offset[2], step)
         for ly in range(N):
-            by, sy = _axis_index(ly, offset[1], step, ny)
+            shy, sy = _axis_map(ly, offset[1], step)
             for lx in range(N):
-                bx, sx = _axis_index(lx, offset[0], step, nx)
-                core = core.at[bz, sz, by, sy, bx, sx, :].add(v[:, :, :, n, :])
+                shx, sx = _axis_map(lx, offset[0], step)
+                term = jnp.pad(
+                    v[:, :, :, n, :],
+                    ((shz, 1 - shz), (shy, 1 - shy), (shx, 1 - shx), (0, 0)),
+                )
+                key = (sz, sy, sx)
+                slabs[key] = slabs.get(key, 0) + term
                 n += 1
+    zero = jnp.zeros((nz + 1, ny + 1, nx + 1, k), dtype=dtype)
+    zs = []
+    for sz in range(step):
+        rows = []
+        for sy in range(step):
+            cols = [slabs.get((sz, sy, sx), zero) for sx in range(step)]
+            rows.append(jnp.stack(cols, axis=3))   # (nz+1, ny+1, nx+1, step, k)
+        zs.append(jnp.stack(rows, axis=2))         # (nz+1, ny+1, step, nx+1, step, k)
+    core = jnp.stack(zs, axis=1)  # (nz+1, step, ny+1, step, nx+1, step, k)
     flat = core.reshape((nz + 1) * step, (ny + 1) * step, (nx + 1) * step, k)
-    return flat[: out_grid.shape[0], : out_grid.shape[1], : out_grid.shape[2], :]
+    return out_grid + flat[: out_grid.shape[0], : out_grid.shape[1],
+                           : out_grid.shape[2], :]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -165,15 +212,26 @@ class StructuredElementOp:
         return tuple(reversed(self.npts)) + (k,)
 
     def __call__(self, x):
+        """Layout-polymorphic apply: grid in -> grid out, flat in -> flat out.
+
+        IMPORTANT (TPU): pass GRID-shaped arrays in hot loops. Mixing a
+        flat->grid reshape with other uses of the same flat vector in one
+        fused program miscompiles on the axon TPU backend above ~500
+        points per axis (first ~40 output rows garbage; verified against
+        f64 references). All solver internals therefore carry grid-shaped
+        state; the flat interface remains for setup/IO boundaries and
+        small problems.
+        """
         N = self.ngl
         step = N - 1
         off = (0,) * len(self.nelem)
-        grid = x.reshape(self._grid_shape(self.k_in))
+        flat = x.ndim == 1
+        grid = x.reshape(self._grid_shape(self.k_in)) if flat else x
         xe = grid_gather(grid, N, self.nelem, step, off)
         ye = xe @ self.A.T
         out = jnp.zeros(self._grid_shape(self.k_out), dtype=x.dtype)
         out = grid_scatter_add(out, ye, N, self.nelem, step, off)
-        return out.reshape(-1)
+        return out.reshape(-1) if flat else out
 
     def diagonal(self):
         N = self.ngl

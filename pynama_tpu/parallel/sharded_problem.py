@@ -64,9 +64,10 @@ class ShardedNSProblem:
         self.w_curl = arr(sl.to_local(ops.w_curl, dim_w))
         self.w_srt = arr(sl.to_local(ops.w_srt, dim_s))
         self.w_div = arr(sl.to_local(ops.w_div, dim))
-        self.mask = arr(sl.to_local(np.asarray(problem.free_mask), dim))
+        self.mask = arr(sl.to_local(np.asarray(problem.free_mask).reshape(-1), dim))
         fm_fs = getattr(problem, "free_mask_fs", None)
-        self.mask_fs = arr(sl.to_local(np.asarray(fm_fs), dim)) if fm_fs is not None else None
+        self.mask_fs = (arr(sl.to_local(np.asarray(fm_fs).reshape(-1), dim))
+                        if fm_fs is not None else None)
         self.own_v = arr(sl.owned_weights(dim))
         self.own_w = arr(sl.owned_weights(dim_w))
         self.coords = arr(sl.to_local(np.asarray(m.coords).reshape(-1), dim)).reshape(
@@ -77,11 +78,12 @@ class ShardedNSProblem:
         self.vel_fn = getattr(problem, "vel_fn", None)
         self.vort_fn = getattr(problem, "vort_fn", None)
         if self.vel_fn is None:
-            self.u_bc = arr(sl.to_local(np.asarray(problem.vel_bc(0.0)), dim))
+            self.u_bc = arr(sl.to_local(np.asarray(problem.vel_bc(0.0)).reshape(-1), dim))
         else:
             self.u_bc = None
         bcw = getattr(problem, "bc_vort_mask", None)
-        self.bc_vort_mask = arr(sl.to_local(np.asarray(bcw), dim_w)) if bcw is not None else None
+        self.bc_vort_mask = (arr(sl.to_local(np.asarray(bcw).reshape(-1), dim_w))
+                             if bcw is not None else None)
 
         self.mesh_dev = sl.device_mesh(devices)
         self.sharding = NamedSharding(self.mesh_dev, P(AXIS))
@@ -244,7 +246,7 @@ class ShardedNSProblem:
         """Distributed transient run (host loop over jitted SPMD steps)."""
         p = self.p
         step = self.build_step()
-        w = self.shard(np.asarray(p.initial_vorticity()), p.dim_w)
+        w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
         vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
         t = jnp.asarray(p.t_start, dtype=p.dtype)
         dt = jnp.asarray(p.dt0, dtype=p.dtype)

@@ -97,7 +97,11 @@ def time_solving(args, config):
         logger.info("Converged: Step %4d | Time %.4e | Increment Time: %.2e",
                     step, t, dt)
         if writer is not None and step % save_every == 0:
-            writer.save_fields(step, t, velocity=vel, vorticity=vort)
+            writer.save_fields(
+                step, t,
+                velocity=np.asarray(vel).reshape(-1),
+                vorticity=np.asarray(vort).reshape(-1),
+            )
             writer.write_xmf(config.get("name", args.case))
 
     vort, t, n = p.run(
@@ -190,7 +194,7 @@ def chart_kle_transient(args, config):
 
     def cb(step, t, dt, vort, vel):
         vel_e, _ = p.exact_fields(t)
-        e = vel - vel_e.reshape(-1)
+        e = jnp.asarray(np.asarray(vel).reshape(-1)) - vel_e.reshape(-1)
         hist["step"].append(step)
         hist["time"].append(t)
         hist["error2"].append(float(jnp.linalg.norm(e)))

@@ -13,6 +13,11 @@ import jax
 import jax.numpy as jnp
 
 
+def sumdot(a, b):
+    """Layout-agnostic inner product (works on flat vectors and grids)."""
+    return jnp.sum(a * b)
+
+
 class CGResult(NamedTuple):
     x: jnp.ndarray
     iters: jnp.ndarray
@@ -27,7 +32,7 @@ def cg_solve(
     rtol: float = 1e-12,
     atol: float = 0.0,
     maxiter: int = 10000,
-    dot: Callable = jnp.dot,
+    dot: Callable = sumdot,
 ) -> CGResult:
     """Solve A x = b with preconditioned CG.
 

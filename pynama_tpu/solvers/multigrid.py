@@ -45,26 +45,30 @@ def _kron_all(mats):
     return out
 
 
-def _subcell_interp_matrices(ngl, dim):
-    """Coarse-element basis at each 2^dim fine-subcell's nodes.
+def _subcell_interp_matrices(ngl, dim, ratio=2):
+    """Coarse-element basis at each ratio^dim fine-subcell's nodes.
 
-    Returns (2**dim, nnode, nnode): Interp[s] maps coarse-cell nodal
+    Returns (ratio**dim, nnode, nnode): Interp[s] maps coarse-cell nodal
     values to the s-th fine subcell's nodal values. Subcell index s is
     lexicographic (x fastest), matching the fine-cell numbering.
+    Supports coarsening ratios 2 and 4 (a 4x jump keeps the hierarchy
+    depth bounded; see max_levels).
     """
     nodes, _ = lobatto_points(ngl)
-    # fine subcell 0 spans [-1,0], subcell 1 spans [0,1] (per axis)
-    pts0 = (nodes - 1.0) / 2.0
-    pts1 = (nodes + 1.0) / 2.0
-    h0, _ = lagrange_basis(nodes, pts0)
-    h1, _ = lagrange_basis(nodes, pts1)
-    hs = [h0, h1]
+    hs = []
+    for part in range(ratio):
+        # fine subcell `part` spans [-1 + 2p/r, -1 + 2(p+1)/r] of coarse
+        pts = (nodes + 1.0) / ratio + (2.0 * part / ratio) - 1.0
+        h, _ = lagrange_basis(nodes, pts)
+        hs.append(h)
     out = []
-    for s in range(2**dim):
-        # bit d of s selects the half along axis d (x = bit 0)
-        factors = []
-        for axis in reversed(range(dim)):  # slowest axis first for kron
-            factors.append(hs[(s >> axis) & 1])
+    for s in range(ratio**dim):
+        digits = []
+        ss = s
+        for _ in range(dim):  # x digit first
+            digits.append(ss % ratio)
+            ss //= ratio
+        factors = [hs[digits[axis]] for axis in reversed(range(dim))]
         out.append(_kron_all(factors))
     return np.stack(out)
 
@@ -76,7 +80,8 @@ class _Level:
     diag: jnp.ndarray         # assembled diag of K (unmasked)
     mask: jnp.ndarray         # Dirichlet free mask (coarse levels)
     # transfer to the NEXT-COARSER level (None on the coarsest)
-    interp_k: Optional[jnp.ndarray] = None    # (2^dim, nnode*d, nnode*d)
+    ratio: int = 2            # coarsening ratio toward the next level
+    interp_k: Optional[jnp.ndarray] = None    # (r^dim, nnode*d, nnode*d)
     mult_inv: Optional[jnp.ndarray] = None    # (..grid.., d) 1/multiplicity
 
 
@@ -86,54 +91,83 @@ class MGPreconditioner:
     def __init__(self, mesh: BoxMesh, elem: SpectralElement,
                  dtype=jnp.float64, pre_smooth: int = 3, post_smooth: int = 3,
                  omega: float = 0.8, coarsest_max_dofs: int = 1500,
-                 min_levels: int = 2):
+                 min_levels: int = 2, max_levels: int = 5):
         self.dim = mesh.dim
         self.dtype = dtype
         self.pre, self.post, self.omega = pre_smooth, post_smooth, omega
         self.elem = elem
 
-        meshes = [mesh]
+        # max_levels=5: deeper V-cycle programs miscompile on the axon TPU
+        # backend (6-level hierarchies diverge at any size while every
+        # 5-level hierarchy converges; applies/transfers verified
+        # bit-comparable against CPU). When a ratio-2 chain would exceed
+        # the cap, the topmost jumps coarsen by 4 instead.
+        factors = []  # coarsening ratio per jump (fine -> coarse order)
+        ne = list(mesh.nelem)
         while True:
-            ne = meshes[-1].nelem
             if any(n % 2 for n in ne) or any(n <= 1 for n in ne):
                 break
-            coarse = BoxMesh(
-                nelem=tuple(n // 2 for n in ne), lower=mesh.lower,
-                upper=mesh.upper, ngl=mesh.ngl,
-            )
-            if coarse.n_nodes * mesh.dim < coarsest_max_dofs:
-                meshes.append(coarse)
+            nxt = [n // 2 for n in ne]
+            factors.append(2)
+            ne = nxt
+            if min(nxt) * (mesh.ngl - 1) + 1 and BoxMesh(
+                nelem=tuple(nxt), lower=mesh.lower, upper=mesh.upper,
+                ngl=mesh.ngl,
+            ).n_nodes * mesh.dim < coarsest_max_dofs:
                 break
-            meshes.append(coarse)
+        # merge leading ratio-2 jumps into ratio-4 until depth fits
+        while len(factors) + 1 > max_levels and len(factors) >= 2 \
+                and factors[0] == 2 and factors[1] == 2:
+            factors = [4] + factors[2:]
+        factors = factors[: max_levels - 1]
+        meshes = [mesh]
+        for r in factors:
+            prev = meshes[-1]
+            meshes.append(BoxMesh(
+                nelem=tuple(n // r for n in prev.nelem), lower=mesh.lower,
+                upper=mesh.upper, ngl=mesh.ngl,
+            ))
+        self.ratios = factors
         self.usable = len(meshes) >= min_levels and (
             meshes[-1].n_nodes * mesh.dim <= coarsest_max_dofs * 2
         )
         if not self.usable:
             return
 
-        interp = _subcell_interp_matrices(mesh.ngl, mesh.dim)
-        interp_k = np.stack(
-            [np.kron(m_, np.eye(mesh.dim)) for m_ in interp]
-        )  # interleaved-dof transfer blocks
+        interp_cache = {}
+
+        def interp_for(r):
+            if r not in interp_cache:
+                interp = _subcell_interp_matrices(mesh.ngl, mesh.dim, r)
+                interp_cache[r] = np.stack(
+                    [np.kron(m_, np.eye(mesh.dim)) for m_ in interp]
+                )
+            return interp_cache[r]
+
         self.levels: List[_Level] = []
         for li, m in enumerate(meshes):
             sysm = build_kle_system(m, elem, dtype)
+            gshape = tuple(reversed(m.npts)) + (m.dim,)
             dmask = np.ones(m.n_nodes * m.dim)
             dmask[m.node_dofs(m.boundary_nodes, m.dim)] = 0.0
             lvl = _Level(
                 mesh=m,
                 K=sysm.K,
-                diag=sysm.diag_K,
-                mask=jnp.asarray(dmask, dtype=dtype),
+                diag=jnp.asarray(
+                    np.asarray(sysm.diag_K).reshape(gshape), dtype=dtype
+                ),
+                mask=jnp.asarray(dmask.reshape(gshape), dtype=dtype),
             )
             if li + 1 < len(meshes):
-                lvl.interp_k = jnp.asarray(interp_k, dtype=dtype)
+                lvl.ratio = self.ratios[li]
+                lvl.interp_k = jnp.asarray(interp_for(lvl.ratio), dtype=dtype)
                 # fine-node multiplicity under the subcell scatter
                 counts = np.zeros(m.n_nodes)
                 c2n = np.asarray(m.cell2node)
                 np.add.at(counts, c2n.reshape(-1), 1.0)
                 lvl.mult_inv = jnp.asarray(
-                    np.repeat(1.0 / counts, m.dim), dtype=dtype
+                    np.repeat(1.0 / counts, m.dim).reshape(gshape),
+                    dtype=dtype,
                 )
             self.levels.append(lvl)
 
@@ -144,8 +178,9 @@ class MGPreconditioner:
         self.lam_max = []
         for lvl in self.levels:
             dinv = 1.0 / (lvl.mask * lvl.diag + (1.0 - lvl.mask))
-            x0 = jnp.asarray(rng.normal(size=lvl.mesh.n_nodes * lvl.mesh.dim),
-                             dtype=dtype) * lvl.mask
+            x0 = jnp.asarray(
+                rng.normal(size=lvl.mask.shape), dtype=dtype
+            ) * lvl.mask
 
             @jax.jit
             def power(x, dinv=dinv, lvl=lvl):
@@ -174,7 +209,7 @@ class MGPreconditioner:
         for e in range(cm.n_cells):
             idx = vd[e]
             K_full[np.ix_(idx, idx)] += K_el
-        m64 = np.asarray(last.mask, dtype=np.float64)
+        m64 = np.asarray(last.mask, dtype=np.float64).reshape(-1)
         K_masked = (m64[:, None] * K_full * m64[None, :]) + np.diag(1.0 - m64)
         self.coarse_inv = jnp.asarray(np.linalg.inv(K_masked), dtype=dtype)
 
@@ -182,32 +217,35 @@ class MGPreconditioner:
     def _masked_apply(self, lvl: _Level, mask, x):
         return mask * lvl.K(mask * x) + (1.0 - mask) * x
 
-    def _subcell_params(self, coarse_mesh, s):
+    def _subcell_params(self, coarse_mesh, s, ratio):
         """(ncells, step, offset) for fine-grid access of subcell s."""
         N = self.elem.ngl
         dim = self.dim
-        bits = [(s >> a) & 1 for a in range(dim)]  # x, y[, z]
+        digits = []
+        ss = s
+        for _ in range(dim):  # x digit first
+            digits.append(ss % ratio)
+            ss //= ratio
         ncells = tuple(coarse_mesh.nelem)
-        step = 2 * (N - 1)
-        offset = tuple((N - 1) * b for b in bits)
+        step = ratio * (N - 1)
+        offset = tuple((N - 1) * dgt for dgt in digits)
         return ncells, step, offset
 
     def _prolong(self, lvl: _Level, next_mesh, xc):
-        """Natural injection coarse -> fine, scatter-free (strided slices)."""
+        """Natural injection coarse -> fine (grid-shaped, scatter-free)."""
         from pynama_tpu.ops.structured import grid_gather, grid_scatter_add
 
         d = self.dim
         N = self.elem.ngl
-        cgrid = xc.reshape(tuple(reversed(next_mesh.npts)) + (d,))
-        xce = grid_gather(cgrid, N, tuple(next_mesh.nelem), N - 1,
+        xce = grid_gather(xc, N, tuple(next_mesh.nelem), N - 1,
                           (0,) * d)  # (ncc, nnode*d)
         fine = jnp.zeros(tuple(reversed(lvl.mesh.npts)) + (d,),
                          dtype=xc.dtype)
-        for s in range(2**d):
+        for s in range(lvl.ratio**d):
             vals = xce @ lvl.interp_k[s].T
-            ncells, step, offset = self._subcell_params(next_mesh, s)
+            ncells, step, offset = self._subcell_params(next_mesh, s, lvl.ratio)
             fine = grid_scatter_add(fine, vals, N, ncells, step, offset)
-        return fine.reshape(-1) * lvl.mult_inv
+        return fine * lvl.mult_inv
 
     def _restrict(self, lvl: _Level, next_mesh, rf):
         """Exact adjoint of _prolong: fine residual -> coarse residual."""
@@ -215,18 +253,16 @@ class MGPreconditioner:
 
         d = self.dim
         N = self.elem.ngl
-        rfm = (rf * lvl.mult_inv).reshape(
-            tuple(reversed(lvl.mesh.npts)) + (d,)
-        )
+        rfm = rf * lvl.mult_inv
         rc = jnp.zeros(tuple(reversed(next_mesh.npts)) + (d,),
                        dtype=rf.dtype)
-        for s in range(2**d):
-            ncells, step, offset = self._subcell_params(next_mesh, s)
+        for s in range(lvl.ratio**d):
+            ncells, step, offset = self._subcell_params(next_mesh, s, lvl.ratio)
             vals = grid_gather(rfm, N, ncells, step, offset)
             contrib = vals @ lvl.interp_k[s]
             rc = grid_scatter_add(rc, contrib, N, tuple(next_mesh.nelem),
                                   N - 1, (0,) * d)
-        return rc.reshape(-1)
+        return rc
 
     # ------------------------------------------------------------------
     def build(self, fine_mask) -> Callable:
@@ -264,7 +300,9 @@ class MGPreconditioner:
             lvl = levels[li]
             mask = fine_mask if li == 0 else lvl.mask
             if li == nlev - 1:
-                return self.coarse_inv @ r
+                # tiny grid: flat<->grid reshape is safe here (the TPU
+                # reshape miscompile needs >500 points per axis)
+                return (self.coarse_inv @ r.reshape(-1)).reshape(r.shape)
             x = smooth(li, mask, jnp.zeros_like(r), r, self.pre)
             res = mask * (r - self._masked_apply(lvl, mask, x))
             next_mesh = levels[li + 1].mesh

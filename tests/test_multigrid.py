@@ -22,15 +22,18 @@ def setup(nelem, ngl=3):
     sys_ = build_kle_system(mesh, elem)
     mask = np.ones(mesh.n_nodes * 2)
     mask[mesh.node_dofs(mesh.boundary_nodes, 2)] = 0.0
-    return mesh, elem, sys_, jnp.asarray(mask)
+    gshape = (mesh.npts[1], mesh.npts[0], 2)
+    return mesh, elem, sys_, jnp.asarray(mask.reshape(gshape))
 
 
 def tg_problem(mesh, sys_, mask):
     x = 2 * np.pi * mesh.coords[:, 0]
     y = 2 * np.pi * mesh.coords[:, 1]
-    vort = jnp.asarray(-4 * np.pi * np.cos(x) * np.cos(y))
+    wg = (mesh.npts[1], mesh.npts[0], 1)
+    vg = (mesh.npts[1], mesh.npts[0], 2)
+    vort = jnp.asarray((-4 * np.pi * np.cos(x) * np.cos(y)).reshape(wg))
     u_bc = jnp.asarray(
-        np.stack([np.cos(x) * np.sin(y), -np.sin(x) * np.cos(y)], 1).reshape(-1)
+        np.stack([np.cos(x) * np.sin(y), -np.sin(x) * np.cos(y)], 1).reshape(vg)
     )
     b = sys_.rhs(vort, u_bc, mask)
     return b, (1.0 - mask) * u_bc
@@ -43,16 +46,18 @@ def test_injection_exact_and_adjoint():
     lvl, cm = mg.levels[0], mg.levels[1].mesh
     # a global biquadratic lies in the coarse space -> injection is exact
     f = lambda c: c[:, 0] ** 2 - 0.3 * c[:, 0] * c[:, 1] + 2 * c[:, 1] + 1
-    xc = np.stack([f(cm.coords), -f(cm.coords)], 1).reshape(-1)
+    cg_ = (cm.npts[1], cm.npts[0], 2)
+    fg_ = (mesh.npts[1], mesh.npts[0], 2)
+    xc = np.stack([f(cm.coords), -f(cm.coords)], 1).reshape(cg_)
     xf = mg._prolong(lvl, cm, jnp.asarray(xc))
-    xf_e = np.stack([f(mesh.coords), -f(mesh.coords)], 1).reshape(-1)
+    xf_e = np.stack([f(mesh.coords), -f(mesh.coords)], 1).reshape(fg_)
     np.testing.assert_allclose(np.asarray(xf), xf_e, atol=1e-12)
     # restriction is the exact adjoint
     rng = np.random.default_rng(0)
-    a = jnp.asarray(rng.normal(size=cm.n_nodes * 2))
-    bb = jnp.asarray(rng.normal(size=mesh.n_nodes * 2))
-    lhs = float(jnp.dot(mg._prolong(lvl, cm, a), bb))
-    rhs = float(jnp.dot(a, mg._restrict(lvl, cm, bb)))
+    a = jnp.asarray(rng.normal(size=cg_))
+    bb = jnp.asarray(rng.normal(size=fg_))
+    lhs = float(jnp.sum(mg._prolong(lvl, cm, a) * bb))
+    rhs = float(jnp.sum(a * mg._restrict(lvl, cm, bb)))
     np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
 
 
@@ -96,7 +101,8 @@ def test_problem_uses_mg_and_stays_accurate():
     cfg = make_config((8, 8), 3)
     p = UniformFlowProblem(cfg).setup()
     assert p._minv is not None  # MG active
-    u = p.solve_kle(0.0, jnp.zeros(p.mesh.n_nodes), rtol=1e-14, maxiter=5000,
+    u = p.solve_kle(0.0, p.initial_vorticity(), rtol=1e-14, maxiter=5000,
                     restarts=2)
     vel_e, _ = p.exact_fields(0.0)
-    assert float(jnp.linalg.norm(u - vel_e.reshape(-1))) < 1e-12
+    diff = np.asarray(u).reshape(-1) - np.asarray(vel_e).reshape(-1)
+    assert float(np.linalg.norm(diff)) < 1e-12

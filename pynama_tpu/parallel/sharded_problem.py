@@ -24,9 +24,7 @@ from pynama_tpu.kle import v_tens_v
 from pynama_tpu.parallel.slab import (
     AXIS,
     SlabDecomposition,
-    halo_sum,
     local_element_apply,
-    make_pdot,
 )
 from pynama_tpu.solvers.cg import cg_solve
 from pynama_tpu.solvers.rk import make_bs5_stepper

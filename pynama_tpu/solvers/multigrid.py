@@ -90,11 +90,11 @@ class MGPreconditioner:
 
     def __init__(self, mesh: BoxMesh, elem: SpectralElement,
                  dtype=jnp.float64, pre_smooth: int = 3, post_smooth: int = 3,
-                 omega: float = 0.8, coarsest_max_dofs: int = 1500,
+                 coarsest_max_dofs: int = 1500,
                  min_levels: int = 2, max_levels: int = 5):
         self.dim = mesh.dim
         self.dtype = dtype
-        self.pre, self.post, self.omega = pre_smooth, post_smooth, omega
+        self.pre, self.post = pre_smooth, post_smooth
         self.elem = elem
 
         # max_levels=5: deeper V-cycle programs miscompile on the axon TPU

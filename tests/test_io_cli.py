@@ -90,3 +90,18 @@ def test_cli_kle_chart():
     data = json.loads(r.stdout.strip().splitlines()[-1])
     errs = data["errors"]
     assert errs[-1][0] < errs[0][0]  # p-refinement converges
+
+
+def test_vtk_writers(tmp_path):
+    from pynama_tpu.io.vtk import write_body_polyline, write_point_cloud
+
+    coords = np.random.default_rng(0).normal(size=(12, 2))
+    p1 = write_point_cloud(
+        str(tmp_path / "cloud.vtk"), coords,
+        fields={"vorticity": np.arange(12.0), "velocity": np.ones((12, 2))},
+    )
+    txt = open(p1).read()
+    assert "POINTS 12 double" in txt and "SCALARS vorticity" in txt
+    assert "VECTORS velocity" in txt
+    p2 = write_body_polyline(str(tmp_path / "body.vtk"), coords)
+    assert "LINES 1 14" in open(p2).read()

@@ -63,6 +63,100 @@ def cavity_config():
     }
 
 
+def profile():
+    """Per-phase breakdown of the north-star metric (BENCH_PROFILE / --profile).
+
+    Times the primitive operations on-device (looped inside one jit program
+    — dispatch over the axon tunnel costs 50-100 ms, so per-op timing must
+    amortize it) and prints CG iteration counts per KLE solve.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PYNAMA_JAX_CACHE",
+                                     "/tmp/pynama-jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.kle import ns_rhs
+
+    dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
+    p = CavityProblem(cavity_config(), dtype=dtype).setup()
+    n_dofs = p.mesh.n_nodes * p.dim
+    print(f"profile: {n_dofs} dofs, platform {jax.devices()[0].platform}, "
+          f"{DTYPE}", file=sys.stderr)
+
+    def timed_loop(name, fn, x, n=32, flops=None, bytes_=None):
+        @jax.jit
+        def loop(x):
+            def body(i, v):
+                return fn(v) * jnp.asarray(1.0, v.dtype)
+            return jax.lax.fori_loop(0, n, body, x)
+
+        jax.block_until_ready(loop(x))  # compile + warm
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop(x))
+        per = (time.perf_counter() - t0) / n * 1e3
+        extra = ""
+        if bytes_:
+            extra = f"  ({bytes_ / per * 1e3 / 1e9:.0f} GB/s effective)"
+        print(f"  {name:<28s} {per:8.3f} ms{extra}", file=sys.stderr)
+        return per
+
+    w0 = p.initial_vorticity()
+    u_bc = p.vel_bc(0.0)
+    v = p.system.rhs(w0, u_bc, p.free_mask_fs)
+    itemsize = np.dtype(DTYPE).itemsize
+    vel_bytes = n_dofs * itemsize
+
+    t_apply = timed_loop("K apply (masked)",
+                         lambda x: p.system.apply_masked(x, p.free_mask),
+                         v, bytes_=2 * vel_bytes)
+    if getattr(p, "_minv", None) is not None:
+        t_v = timed_loop("MG V-cycle", p._minv, v)
+        timed_loop("V-cycle + K apply (1 CG it)",
+                   lambda x: p._minv(p.system.apply_masked(x, p.free_mask)),
+                   v)
+    timed_loop("transport operator chain",
+               lambda x: p.operators.Rw(ns_rhs(p.operators, x, p.mu,
+                                               p.rho, p.dim)), v)
+
+    # KLE solve iteration counts: cold then warm(ish)
+    def solve_counts(mask, minv, x0, tag):
+        res = p.system.solve(w0, u_bc, mask, x0=x0, rtol=KLE_RTOL,
+                             maxiter=p.kle_maxiter, restarts=1, m_inv=minv)
+        jax.block_until_ready(res.x)
+        t0 = time.perf_counter()
+        res = p.system.solve(w0, u_bc, mask, x0=x0, rtol=KLE_RTOL,
+                             maxiter=p.kle_maxiter, restarts=1, m_inv=minv)
+        jax.block_until_ready(res.x)
+        ms = (time.perf_counter() - t0) * 1e3
+        print(f"  KLE solve [{tag}]: {int(res.iters)} iters, {ms:.1f} ms "
+              f"({ms / max(int(res.iters), 1):.2f} ms/iter), "
+              f"resnorm {float(res.resnorm):.2e}", file=sys.stderr)
+        return res.x
+
+    x_fs = solve_counts(p.free_mask_fs, getattr(p, "_minv_fs", None), None,
+                        "FS, cold")
+    solve_counts(p.free_mask, getattr(p, "_minv", None), x_fs, "final, warm")
+    solve_counts(p.free_mask_fs, getattr(p, "_minv_fs", None), x_fs,
+                 "FS, warm")
+
+    # full RHS eval (2 solves + operator chain), warm-started
+    @jax.jit
+    def rhs(t, w, vel_ws):
+        return p.transport_rhs(t, w, vel_ws)
+
+    f1, vel = rhs(jnp.asarray(0.0, dtype), w0, p.zero_vel())
+    jax.block_until_ready((f1, vel))
+    t0 = time.perf_counter()
+    f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel)
+    jax.block_until_ready((f1, vel))
+    print(f"  RHS eval (warm):             {(time.perf_counter()-t0)*1e3:8.1f} ms"
+          f"  (x7 per BS5 step)", file=sys.stderr)
+
+
 def bench_ours():
     import jax
 
@@ -201,6 +295,9 @@ def bench_baseline():
 
 
 def main():
+    if "--profile" in sys.argv or os.environ.get("BENCH_PROFILE") == "1":
+        profile()
+        return
     if "--baseline" in sys.argv:
         # subprocess mode: measure the scipy-LU baseline on CPU, print ms
         print(json.dumps({"baseline_ms": bench_baseline()}))

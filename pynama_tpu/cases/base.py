@@ -132,11 +132,21 @@ class BaseProblem:
         if not self.config.get("multigrid", True):
             return
         if not getattr(self.mesh, "uniform", False):
+            logger.warning(
+                "%s: multigrid unavailable on non-uniform meshes; "
+                "KLE solves fall back to Jacobi-CG", self.name,
+            )
             return
         from pynama_tpu.solvers.multigrid import MGPreconditioner
 
         mg = MGPreconditioner(self.mesh, self.elem, dtype=self.dtype)
         if not mg.usable:
+            logger.warning(
+                "%s: no multigrid hierarchy for nelem=%s (needs axes "
+                "divisible by 2/3/5 down to ~%d dofs); KLE solves fall "
+                "back to Jacobi-CG", self.name, self.nelem,
+                1500,
+            )
             return
         self.mg = mg
         if hasattr(self, "free_mask"):
@@ -284,8 +294,22 @@ class FreeSlipProblem(BaseProblem):
         return errors
 
 
+_EVAL_NAMES = {"__builtins__": {}}
+_EVAL_LOCALS = {
+    "pi": np.pi, "e": np.e, "sqrt": np.sqrt, "sin": np.sin, "cos": np.cos,
+}
+
+
+def _eval_scalar(v):
+    """Evaluate a YAML scalar that may be a math expression like '2*pi'.
+
+    Restricted namespace (no builtins, math names only) — the reference
+    uses bare eval() on its yaml values, an unnecessary hazard to copy.
+    """
+    if isinstance(v, str):
+        return float(eval(v, _EVAL_NAMES, _EVAL_LOCALS))
+    return float(v)
+
+
 def _eval_seq(seq):
-    out = []
-    for v in seq:
-        out.append(float(eval(v)) if isinstance(v, str) else float(v))
-    return out
+    return [_eval_scalar(v) for v in seq]

@@ -31,8 +31,9 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             c = bc["constant"]
             re = float(c["re"])
             angle = radians(float(c.get("direction", 0)))
-            lref = c.get("longRef", "1")
-            L = float(eval(lref)) if isinstance(lref, str) else float(lref)
+            from pynama_tpu.cases.base import _eval_scalar
+
+            L = _eval_scalar(c.get("longRef", 1.0))
             u_ref = re * (self.mu / self.rho) / L
             self.u_ref = u_ref
             self.cte_value = [cos(angle) * u_ref, sin(angle) * u_ref]
@@ -112,6 +113,7 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             return self.transport_rhs(tt, ww, aux)
 
         step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol, rtol=self.ts_rtol))
+        rhs_jit = jax.jit(rhs)
         post = self._post_step_fn()
         t_end = jnp.asarray(self.t_end, dtype=dtype)
 
@@ -144,17 +146,29 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             Xb = jnp.asarray(self.body.coords_at(float(t)), dtype=dtype)
             Ub = jnp.asarray(self.body.velocity_at(float(t)), dtype=dtype)
             vort, vel, _ = post(t, vort, vel, Xb, Ub)
-            f1, vel = rhs(t, vort, vel)
+            f1, _ = rhs(t, vort, vel)
             n = 0
+        vel_ws = vel
         steps = max_steps if max_steps is not None else self.max_steps
         while float(t) < float(t_end) - 1e-14 and n < steps:
-            res = step(vort, t, dt, vel, f1, t_end)
-            t, dt, f1 = res.t, res.dt_next, res.f_new
-            used_dt = float(t) - (self.t_history[-1] if self.t_history else self.t_start)
+            t_before = float(t)
+            res = step(vort, t, dt, vel_ws, f1, t_end)
+            t, dt = res.t, res.dt_next
+            # the step actually taken (res.dt_next is the NEXT proposal and
+            # t_history is only appended every save_forces_every steps, so
+            # neither is the right force-scaling denominator)
+            used_dt = float(t) - t_before
             if self.body.is_moving:
                 Xb = jnp.asarray(self.body.coords_at(float(t)), dtype=dtype)
                 Ub = jnp.asarray(self.body.velocity_at(float(t)), dtype=dtype)
             vort, vel, q = post(t, res.y, res.aux, Xb, Ub)
+            # FSAL is invalid once the velocity correction replaced the
+            # solution: recompute the stage-1 derivative from the corrected
+            # state (the reference re-evaluates the RHS after
+            # ts.setSolution, immersed_boundary.py:108-110). ``vel`` stays
+            # the corrected (no-slip-on-body) field for reporting; the KLE
+            # velocity only seeds the next step's warm start.
+            f1, vel_ws = rhs_jit(t, vort, vel)
             n += 1
             if n % save_forces_every == 0:
                 # force on the body from the virtual flux:

@@ -133,7 +133,12 @@ def time_solving(args, config):
 
 
 def chart_kle(args, config):
-    """p-refinement KLE convergence. Parity: generateChart (:30-77)."""
+    """p- AND h-refinement KLE convergence charts.
+
+    Parity: generateChart (/root/reference/src/run_case.py:30-77), which
+    plots the p-refinement error per viscous time alongside a Q2
+    h-refinement curve, both against the per-axis node count N*.
+    """
     ngls = list(range(3, int(args.max_ngl) + 1, 2))
     taus = [0.2, 0.5, 0.9]
     rows = []
@@ -141,19 +146,45 @@ def chart_kle(args, config):
         p = make_problem(args.case, config, ngl=ngl, nelem=args.nelem,
                          dtype=args.dtype).setup()
         errs = p.kle_error(taus)
-        rows.append((ngl, errs))
-        logger.info("ngl=%2d errors=%s", ngl, ["%.3e" % e for e in errs])
+        nstar = max(p.mesh.npts)
+        rows.append((ngl, nstar, errs))
+        logger.info("p-ref ngl=%2d N*=%3d errors=%s", ngl, nstar,
+                    ["%.3e" % e for e in errs])
+
+    # h-refinement at fixed Q2 (ngl=3), doubling nelem until the per-axis
+    # node count matches the largest p-refinement mesh (run_case.py:56-76)
+    n_max = max(r[1] for r in rows)
+    dim = p.dim
+    h_rows = []
+    ne = 2
+    while 2 * ne + 1 <= n_max:
+        p = make_problem(args.case, config, ngl=3, nelem=(ne,) * dim,
+                         dtype=args.dtype).setup()
+        errs = p.kle_error(taus)
+        h_rows.append((ne, max(p.mesh.npts), errs))
+        logger.info("h-ref Q2 nelem=%3d N*=%3d errors=%s", ne,
+                    h_rows[-1][1], ["%.3e" % e for e in errs])
+        ne *= 2
     from pynama_tpu.io.plots import loglog_error_chart
 
     series = [
-        (f"tau={tau}", np.array([r[0] for r in rows]),
-         np.array([r[1][i] for r in rows]))
+        (f"p-ref tau={tau}", np.array([r[1] for r in rows]),
+         np.array([r[2][i] for r in rows]))
         for i, tau in enumerate(taus)
+    ] + [
+        (f"h-ref Q2 tau={tau}", np.array([r[1] for r in h_rows]),
+         np.array([r[2][i] for r in h_rows]))
+        for i, tau in enumerate(taus)
+        if h_rows
     ]
     out = loglog_error_chart(series, f"chart-kle-{args.case}.png",
-                             xlabel="ngl", ylabel="||u - u_exact||")
+                             xlabel="N* (nodes per axis)",
+                             ylabel="||u - u_exact||")
     print(json.dumps({"ngl": [r[0] for r in rows],
-                      "errors": [r[1] for r in rows], "chart": out}))
+                      "errors": [r[2] for r in rows],
+                      "h_nelem": [r[0] for r in h_rows],
+                      "h_errors": [r[2] for r in h_rows],
+                      "chart": out}))
 
 
 def chart_operators(args, config):
@@ -241,6 +272,16 @@ def main(argv=None):
     config = load_config(args.case, args.config)
     if args.nelem is not None:
         args.nelem = tuple(args.nelem)
+
+    # -test modes need an analytic exact solution (kle_error/operators_test
+    # exist on CustomFuncProblem only); fail with a clear message instead of
+    # an AttributeError mid-setup
+    analytic = {"taylor-green", "taylor-green2d-3d", "senoidal", "flat-plate"}
+    if args.test and args.case not in analytic:
+        ap.error(
+            f"-test {args.test} requires an analytic-solution case "
+            f"({', '.join(sorted(analytic))}); got '{args.case}'"
+        )
 
     if args.test in ("kle", "chart"):
         chart_kle(args, config)

@@ -100,25 +100,37 @@ class MGPreconditioner:
         # max_levels=5: deeper V-cycle programs miscompile on the axon TPU
         # backend (6-level hierarchies diverge at any size while every
         # 5-level hierarchy converges; applies/transfers verified
-        # bit-comparable against CPU). When a ratio-2 chain would exceed
-        # the cap, the topmost jumps coarsen by 4 instead.
+        # bit-comparable against CPU). When the chain would exceed the
+        # cap, the topmost jumps are merged into one larger ratio.
+        def _dofs(nel):
+            return BoxMesh(
+                nelem=tuple(nel), lower=mesh.lower, upper=mesh.upper,
+                ngl=mesh.ngl,
+            ).n_nodes * mesh.dim
+
         factors = []  # coarsening ratio per jump (fine -> coarse order)
         ne = list(mesh.nelem)
         while True:
-            if any(n % 2 for n in ne) or any(n <= 1 for n in ne):
+            # smallest admissible ratio first (gentler jumps converge
+            # better); 2/3/5 cover every nelem that is not prime-heavy
+            for r in (2, 3, 5):
+                if all(n % r == 0 and n >= r for n in ne):
+                    break
+            else:
+                break  # no ratio divides evenly: current ne is coarsest
+            factors.append(r)
+            ne = [n // r for n in ne]
+            if _dofs(ne) < coarsest_max_dofs:
                 break
-            nxt = [n // 2 for n in ne]
-            factors.append(2)
-            ne = nxt
-            if min(nxt) * (mesh.ngl - 1) + 1 and BoxMesh(
-                nelem=tuple(nxt), lower=mesh.lower, upper=mesh.upper,
-                ngl=mesh.ngl,
-            ).n_nodes * mesh.dim < coarsest_max_dofs:
+        # merge adjacent jumps (coarse end first, where transfers are
+        # cheap) until the level count fits max_levels
+        while len(factors) + 1 > max_levels:
+            for i in range(len(factors) - 2, -1, -1):
+                if factors[i] * factors[i + 1] <= 8:
+                    factors[i:i + 2] = [factors[i] * factors[i + 1]]
+                    break
+            else:
                 break
-        # merge leading ratio-2 jumps into ratio-4 until depth fits
-        while len(factors) + 1 > max_levels and len(factors) >= 2 \
-                and factors[0] == 2 and factors[1] == 2:
-            factors = [4] + factors[2:]
         factors = factors[: max_levels - 1]
         meshes = [mesh]
         for r in factors:

@@ -87,6 +87,22 @@ def test_mg_solution_matches_jacobi():
     assert err < 1e-8, err
 
 
+@pytest.mark.parametrize("nelem", [45, 50])
+def test_mg_non_power_of_two_meshes(nelem):
+    """Hierarchies with ratio-3 (45=3^2*5) and ratio-5 (50=2*5^2) jumps."""
+    mesh, elem, sys_, mask = setup(nelem)
+    mg = MGPreconditioner(mesh, elem)
+    assert mg.usable, f"no hierarchy for nelem={nelem}"
+    assert len(mg.levels) >= 2
+    assert any(r in (3, 5) for r in mg.ratios), mg.ratios
+    b, x0 = tg_problem(mesh, sys_, mask)
+    res = cg_solve(partial(sys_.apply_masked, free_mask=mask), b, x0=x0,
+                   m_inv=mg.build(mask), rtol=1e-10, maxiter=400)
+    assert int(res.iters) < 150, int(res.iters)
+    bnorm = float(jnp.sqrt(jnp.sum(b * b)))
+    assert float(res.resnorm) <= 1.01e-10 * bnorm
+
+
 def test_unusable_on_odd_mesh_falls_back():
     mesh = BoxMesh(nelem=(7, 7), lower=(0, 0), upper=(1, 1), ngl=3)
     elem = SpectralElement(3, 2)

@@ -25,6 +25,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -106,30 +107,39 @@ def profile():
 
     w0 = p.initial_vorticity()
     u_bc = p.vel_bc(0.0)
-    v = p.system.rhs(w0, u_bc, p.free_mask_fs)
+    if getattr(p, "_blocked", False):
+        w0, u_bc = p._blk(w0), p._blk(u_bc)
+    mask, mask_fs = p._m("free_mask"), p._m("free_mask_fs")
+    v = p.system.rhs(w0, u_bc, mask_fs)
     itemsize = np.dtype(DTYPE).itemsize
     vel_bytes = n_dofs * itemsize
 
     t_apply = timed_loop("K apply (masked)",
-                         lambda x: p.system.apply_masked(x, p.free_mask),
+                         lambda x: p.system.apply_masked(x, mask),
                          v, bytes_=2 * vel_bytes)
     if getattr(p, "_minv", None) is not None:
         t_v = timed_loop("MG V-cycle", p._minv, v)
         timed_loop("V-cycle + K apply (1 CG it)",
-                   lambda x: p._minv(p.system.apply_masked(x, p.free_mask)),
+                   lambda x: p._minv(p.system.apply_masked(x, mask)),
                    v)
     timed_loop("transport operator chain",
-               lambda x: p.operators.Rw(ns_rhs(p.operators, x, p.mu,
-                                               p.rho, p.dim)), v)
+               lambda x: p.system.Rw(ns_rhs(p.operators, x, p.mu,
+                                            p.rho, p.dim)), v)
 
-    # KLE solve iteration counts: cold then warm(ish)
-    def solve_counts(mask, minv, x0, tag):
-        res = p.system.solve(w0, u_bc, mask, x0=x0, rtol=KLE_RTOL,
-                             maxiter=p.kle_maxiter, restarts=1, m_inv=minv)
+    # KLE solve iteration counts: cold then warm(ish); jitted (eager
+    # dispatch over the axon tunnel costs 50-100 ms PER OP)
+    @partial(jax.jit, static_argnames=("which",))
+    def jsolve(w, x0, which):
+        m = mask_fs if which == "fs" else mask
+        minv = getattr(p, "_minv_fs" if which == "fs" else "_minv", None)
+        return p.system.solve(w, u_bc, m, x0=x0, rtol=KLE_RTOL,
+                              maxiter=p.kle_maxiter, restarts=1, m_inv=minv)
+
+    def solve_counts(which, x0, tag):
+        res = jsolve(w0, x0, which)
         jax.block_until_ready(res.x)
         t0 = time.perf_counter()
-        res = p.system.solve(w0, u_bc, mask, x0=x0, rtol=KLE_RTOL,
-                             maxiter=p.kle_maxiter, restarts=1, m_inv=minv)
+        res = jsolve(w0, x0, which)
         jax.block_until_ready(res.x)
         ms = (time.perf_counter() - t0) * 1e3
         print(f"  KLE solve [{tag}]: {int(res.iters)} iters, {ms:.1f} ms "
@@ -137,18 +147,19 @@ def profile():
               f"resnorm {float(res.resnorm):.2e}", file=sys.stderr)
         return res.x
 
-    x_fs = solve_counts(p.free_mask_fs, getattr(p, "_minv_fs", None), None,
-                        "FS, cold")
-    solve_counts(p.free_mask, getattr(p, "_minv", None), x_fs, "final, warm")
-    solve_counts(p.free_mask_fs, getattr(p, "_minv_fs", None), x_fs,
-                 "FS, warm")
+    x_fs = solve_counts("fs", None, "FS, cold")
+    solve_counts("final", x_fs, "final, warm")
+    solve_counts("fs", x_fs, "FS, warm")
 
     # full RHS eval (2 solves + operator chain), warm-started
     @jax.jit
     def rhs(t, w, vel_ws):
         return p.transport_rhs(t, w, vel_ws)
 
-    f1, vel = rhs(jnp.asarray(0.0, dtype), w0, p.zero_vel())
+    vel0 = p.zero_vel()
+    if getattr(p, "_blocked", False):
+        vel0 = p._blk(vel0)
+    f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel0)
     jax.block_until_ready((f1, vel))
     t0 = time.perf_counter()
     f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel)
@@ -183,6 +194,8 @@ def bench_ours():
 
     w = p.initial_vorticity()
     vel = p.zero_vel()
+    if getattr(p, "_blocked", False):
+        w, vel = p._blk(w), p._blk(vel)  # solver layout end-to-end
     t = jnp.asarray(0.0, dtype=dtype)
     dt = jnp.asarray(1e-3, dtype=dtype)
     t_end = jnp.asarray(1e9, dtype=dtype)

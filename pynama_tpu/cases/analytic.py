@@ -46,7 +46,11 @@ class CustomFuncProblem(FreeSlipProblem):
         exact = self.vort_fn(self._coords, self.nu, t).reshape(
             self._gshape(self.dim_w)
         )
-        m = self.bc_vort_mask
+        if vort.ndim > 1 and vort.shape != exact.shape:  # blocked layout
+            exact = self._blk(exact)
+            m = self.bc_vort_mask_b
+        else:
+            m = self.bc_vort_mask
         return vort * (1.0 - m) + exact * m
 
     def initial_vorticity(self):

@@ -74,6 +74,7 @@ class BaseProblem:
             self.read_boundary_condition(bc)
 
         self._setup_done = False
+        self._blocked = False
 
     # -- hooks ----------------------------------------------------------
     def read_boundary_condition(self, bc):
@@ -104,6 +105,7 @@ class BaseProblem:
         self.system = build_kle_system(self.mesh, self.elem, self.dtype)
         self.operators = build_operators(self.mesh, self.elem, self.dtype)
         self.setup_bc()
+        self._setup_blocked()
         self.setup_preconditioner()
         self._setup_done = True
         logger.info(
@@ -118,6 +120,86 @@ class BaseProblem:
 
     def zero_vel(self):
         return jnp.zeros(self._gshape(self.dim), dtype=self.dtype)
+
+    # -- parity-blocked solver layout (see pynama_tpu/ops/conv.py) -------
+    def _setup_blocked(self):
+        """Precompute blocked masks/BC constants for the TPU hot path.
+
+        Solver state (vorticity, velocity, CG/MG internals) runs in the
+        parity-blocked layout on structured meshes: the grid<->blocked
+        transposes measure ~4x the cost of one operator apply at 1M dofs,
+        so they are confined to setup and IO boundaries.
+        """
+        self._blocked = False
+        from pynama_tpu.ops.structured import _use_conv
+
+        if not (hasattr(self.system.K, "to_blocked") and _use_conv()):
+            return
+        self._blocked = True
+        for name in ("free_mask", "free_mask_fs", "bc_vort_mask",
+                     "_fsfree", "_u_bc"):
+            val = getattr(self, name, None)
+            if val is not None:
+                setattr(self, name + "_b", self._blk(val))
+
+    def _blk(self, grid):
+        from pynama_tpu.ops.conv import to_blocked
+
+        return to_blocked(grid, self.ngl)
+
+    def _unblk(self, xb):
+        from pynama_tpu.ops.conv import from_blocked
+
+        return from_blocked(xb, self.ngl, tuple(reversed(self.mesh.npts)))
+
+    def _bshape(self, k):
+        from pynama_tpu.ops.conv import blocked_shape
+
+        return blocked_shape(self.ngl, tuple(reversed(self.mesh.npts)), k)
+
+    def _m(self, name):
+        """Solver-layout mask/constant by name."""
+        return getattr(self, name + "_b" if self._blocked else name)
+
+    def _wlte_norm(self):
+        """RK error norm over REAL dofs (layout-independent).
+
+        The blocked layout carries zero pad slots; a plain mean would
+        count them and skew the adaptive-dt controller relative to
+        grid/flat runs (and the distributed path's psum norm).
+        """
+        n_real = self.mesh.n_nodes * self.dim_w
+
+        def norm(err, y_old, y_new, atol, rtol):
+            w = atol + rtol * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
+            e = err / w
+            return jnp.sqrt(jnp.sum(e * e) / n_real)
+
+        return norm
+
+    def _solver_bc(self, t):
+        """vel_bc in the solver layout."""
+        u = self.vel_bc(t)
+        return self._blk(u) if self._blocked else u
+
+    def _kle_layout(self, vort, x0):
+        """Convert solve inputs to the solver layout; return a restorer."""
+        if not self._blocked:
+            return vort, x0, (lambda x: x)
+        if vort.ndim > 1 and vort.shape == self._bshape(self.dim_w):
+            return vort, x0, (lambda x: x)
+        flat = vort.ndim == 1
+        if flat:
+            vort = vort.reshape(self._gshape(self.dim_w))
+        vort_b = self._blk(vort)
+        x0_b = None
+        if x0 is not None:
+            if x0.ndim == 1:
+                x0 = x0.reshape(self._gshape(self.dim))
+            x0_b = self._blk(x0) if x0.shape != self._bshape(self.dim) else x0
+        if flat:
+            return vort_b, x0_b, (lambda xb: self._unblk(xb).reshape(-1))
+        return vort_b, x0_b, (lambda xb: self._unblk(xb))
 
     def setup_preconditioner(self):
         """Geometric-multigrid preconditioner on uniform box meshes.
@@ -150,9 +232,9 @@ class BaseProblem:
             return
         self.mg = mg
         if hasattr(self, "free_mask"):
-            self._minv = mg.build(self.free_mask)
+            self._minv = mg.build(self._m("free_mask"))
         if getattr(self, "free_mask_fs", None) is not None:
-            self._minv_fs = mg.build(self.free_mask_fs)
+            self._minv_fs = mg.build(self._m("free_mask_fs"))
 
     # -- solves ----------------------------------------------------------
     def solve_kle(self, t, vort, x0=None):
@@ -162,10 +244,25 @@ class BaseProblem:
         """d(vort)/dt given vorticity; aux = warm-start velocity.
 
         Parity: BaseProblem.evalRHS (base_problem.py:212-232).
+        Layout-preserving: blocked state passes straight through the
+        blocked solver path; grid/flat callers convert at this boundary.
         """
+        blocked_in = (self._blocked and vort.ndim > 1
+                      and vort.shape == self._bshape(self.dim_w))
+        if self._blocked and not blocked_in:
+            flat = vort.ndim == 1
+            if flat:
+                vort = vort.reshape(self._gshape(self.dim_w))
+                vel_ws = vel_ws.reshape(self._gshape(self.dim))
+            vort = self._blk(vort)
+            vel_ws = self._blk(vel_ws)
         vort = self.vort_bc(t, vort)
         vel = self.solve_kle(t, vort, x0=vel_ws)
         f = ns_rhs(self.operators, vel, self.mu, self.rho, self.dim)
+        if self._blocked and not blocked_in:
+            f, vel = self._unblk(f), self._unblk(vel)
+            if flat:
+                f, vel = f.reshape(-1), vel.reshape(-1)
         return f, vel
 
     # -- transient -------------------------------------------------------
@@ -191,23 +288,28 @@ class BaseProblem:
             return self.transport_rhs(t, w, aux)
 
         step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol,
-                                        rtol=self.ts_rtol))
+                                        rtol=self.ts_rtol,
+                                        wlte_norm=self._wlte_norm()))
+        # state lives in the solver layout (parity-blocked on TPU meshes);
+        # grid/flat only at the IO boundaries below
+        blk = self._blk if self._blocked else (lambda x: x)
+        unblk = self._unblk if self._blocked else (lambda x: x)
         if resume_from:
             from pynama_tpu.io.checkpoint import load_checkpoint
 
             ck = load_checkpoint(resume_from)
-            vort = jnp.asarray(ck["vort"].reshape(self._gshape(self.dim_w)),
-                               dtype=dtype)
-            vel = jnp.asarray(ck["vel"].reshape(self._gshape(self.dim)),
-                              dtype=dtype)
-            f1 = jnp.asarray(ck["f1"].reshape(self._gshape(self.dim_w)),
-                             dtype=dtype)
+            vort = blk(jnp.asarray(
+                ck["vort"].reshape(self._gshape(self.dim_w)), dtype=dtype))
+            vel = blk(jnp.asarray(
+                ck["vel"].reshape(self._gshape(self.dim)), dtype=dtype))
+            f1 = blk(jnp.asarray(
+                ck["f1"].reshape(self._gshape(self.dim_w)), dtype=dtype))
             t = jnp.asarray(ck["t"], dtype=dtype)
             dt = jnp.asarray(ck["dt"], dtype=dtype)
             n = ck["step"]
         else:
-            vort = self.initial_vorticity()
-            vel = self.zero_vel()
+            vort = blk(self.initial_vorticity())
+            vel = blk(self.zero_vel())
             t = jnp.asarray(self.t_start, dtype=dtype)
             dt = jnp.asarray(self.dt0, dtype=dtype)
             f1, vel = rhs(t, vort, vel)
@@ -220,20 +322,20 @@ class BaseProblem:
             vort, t, dt, vel, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
             n += 1
             if callback is not None:
-                callback(n, float(t), float(dt), vort, vel)
+                callback(n, float(t), float(dt), unblk(vort), unblk(vel))
             if checkpoint_path and checkpoint_every and n % checkpoint_every == 0:
                 from pynama_tpu.io.checkpoint import save_checkpoint
 
                 save_checkpoint(
                     checkpoint_path, step=n, t=float(t), dt=float(dt),
-                    vort=np.asarray(vort).reshape(-1),
-                    vel=np.asarray(vel).reshape(-1),
-                    f1=np.asarray(f1).reshape(-1),
+                    vort=np.asarray(unblk(vort)).reshape(-1),
+                    vel=np.asarray(unblk(vel)).reshape(-1),
+                    f1=np.asarray(unblk(f1)).reshape(-1),
                 )
         # public attributes stay flat (interleaved-dof) at the API boundary
-        self.vort = jnp.asarray(np.asarray(vort).reshape(-1))
+        self.vort = jnp.asarray(np.asarray(unblk(vort)).reshape(-1))
         self.vel = jnp.asarray(
-            np.asarray(self.solve_kle(t, vort)).reshape(-1)
+            np.asarray(unblk(self.solve_kle(t, vort))).reshape(-1)
         )
         return self.vort, float(t), n
 
@@ -261,19 +363,21 @@ class FreeSlipProblem(BaseProblem):
         """Parity: FreeSlip.solveKLE (base_problem.py:479-481).
 
         restarts=1 in the transient hot path (warm starts make refinement
-        unnecessary); accuracy gates pass restarts=2.
+        unnecessary); accuracy gates pass restarts=2. Result layout
+        matches the caller's vort layout (solver runs blocked on TPU).
         """
+        vort, x0, restore = self._kle_layout(vort, x0)
         res = self.system.solve(
             vort,
-            self.vel_bc(t),
-            self.free_mask,
+            self._solver_bc(t),
+            self._m("free_mask"),
             x0=x0,
             rtol=rtol if rtol is not None else self.kle_rtol,
             maxiter=maxiter if maxiter is not None else self.kle_maxiter,
             restarts=restarts,
             m_inv=getattr(self, "_minv", None),
         )
-        return res.x
+        return restore(res.x)
 
     def kle_error(self, viscous_times, exact_fields):
         """||u - u_exact||_2 for KLE solves at t = tau^2/(4 nu).

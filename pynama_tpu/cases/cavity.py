@@ -92,21 +92,24 @@ class NoSlipProblem(BaseProblem):
         """Parity: NoSlipFreeSlip.solveKLE (base_problem.py:321-327)."""
         rtol = rtol if rtol is not None else self.kle_rtol
         maxiter = maxiter if maxiter is not None else self.kle_maxiter
-        u_bc = self.vel_bc(t)
+        vort, x0, restore = self._kle_layout(vort, x0)
+        u_bc = self._solver_bc(t)
         res_fs = self.system.solve(
-            vort, u_bc, self.free_mask_fs, x0=x0, rtol=rtol, maxiter=maxiter,
-            restarts=restarts, m_inv=getattr(self, "_minv_fs", None),
+            vort, u_bc, self._m("free_mask_fs"), x0=x0, rtol=rtol,
+            maxiter=maxiter, restarts=restarts,
+            m_inv=getattr(self, "_minv_fs", None),
         )
         # applyBoundaryConditionsFS (cavity.py:67-82): overwrite no-slip
         # wall velocities before computing the wall vorticity
-        vel_fs = res_fs.x * (1.0 - self._fsfree) + u_bc * self._fsfree
+        fsfree = self._m("_fsfree")
+        vel_fs = res_fs.x * (1.0 - fsfree) + u_bc * fsfree
         vort2 = self.operators.curl(vel_fs)
         res = self.system.solve(
-            vort2, u_bc, self.free_mask, x0=res_fs.x, rtol=rtol,
+            vort2, u_bc, self._m("free_mask"), x0=res_fs.x, rtol=rtol,
             maxiter=maxiter, restarts=restarts,
             m_inv=getattr(self, "_minv", None),
         )
-        return res.x
+        return restore(res.x)
 
 
 class CavityProblem(NoSlipProblem):

@@ -73,7 +73,10 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
     def vort_bc(self, t, vort):
         """Far-field vorticity clamped to zero
         (parity: immersed_boundary.py:199-203)."""
-        return vort * (1.0 - self.bc_vort_mask)
+        m = self.bc_vort_mask
+        if vort.ndim > 1 and vort.shape != m.shape:  # blocked layout
+            m = self.bc_vort_mask_b
+        return vort * (1.0 - m)
 
     # ------------------------------------------------------------------
     def _post_step_fn(self):
@@ -112,7 +115,9 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
         def rhs(tt, ww, aux):
             return self.transport_rhs(tt, ww, aux)
 
-        step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol, rtol=self.ts_rtol))
+        step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol,
+                                        rtol=self.ts_rtol,
+                                        wlte_norm=self._wlte_norm()))
         rhs_jit = jax.jit(rhs)
         post = self._post_step_fn()
         t_end = jnp.asarray(self.t_end, dtype=dtype)

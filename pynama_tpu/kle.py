@@ -47,9 +47,10 @@ class KLESystem:
     Rw: ElementOp
     Rd: ElementOp
     diag_K: jnp.ndarray
+    diag_K_b: Optional[jnp.ndarray] = None  # parity-blocked layout (TPU)
 
     def tree_flatten(self):
-        return (self.K, self.Rw, self.Rd, self.diag_K), ()
+        return (self.K, self.Rw, self.Rd, self.diag_K, self.diag_K_b), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -57,7 +58,16 @@ class KLESystem:
 
     # -- masked operator ------------------------------------------------
     def apply_masked(self, u, free_mask):
-        return free_mask * self.K(free_mask * u) + (1.0 - free_mask) * u
+        K = self.K
+        if (u.ndim > 1 and hasattr(K, "apply_blocked")
+                and u.shape == K.blocked_shape_in):
+            from pynama_tpu.ops.conv import mask_frees_boundary
+
+            corr = mask_frees_boundary(free_mask, K.ngl, K.npts_grid)
+            Ku = K.apply_blocked(free_mask * u, corrections=corr)
+        else:
+            Ku = K(free_mask * u)
+        return free_mask * Ku + (1.0 - free_mask) * u
 
     def rhs(self, vort, u_bc, free_mask):
         """P (Rw w - K (I-P) u_bc) + (I-P) u_bc."""
@@ -65,8 +75,14 @@ class KLESystem:
         return free_mask * (self.Rw(vort) - self.K(bc_part)) + bc_part
 
     def jacobi_inv(self, free_mask):
-        diag = (self.diag_K.reshape(free_mask.shape)
-                if free_mask.ndim > 1 else self.diag_K)
+        if free_mask.ndim > 1:
+            if (self.diag_K_b is not None
+                    and free_mask.shape == self.diag_K_b.shape):
+                diag = self.diag_K_b
+            else:
+                diag = self.diag_K.reshape(free_mask.shape)
+        else:
+            diag = self.diag_K
         d = free_mask * diag + (1.0 - free_mask)
         return 1.0 / d
 
@@ -127,28 +143,37 @@ class ProjectionOperators:
     w_curl: jnp.ndarray   # (n_nodes*dim_w,)
     w_srt: jnp.ndarray    # (n_nodes*dim_s,)
     w_div: jnp.ndarray    # (n_nodes*dim,)
+    # parity-blocked weights (pad slots = 1), present on structured meshes
+    wb_curl: Optional[jnp.ndarray] = None
+    wb_srt: Optional[jnp.ndarray] = None
+    wb_div: Optional[jnp.ndarray] = None
 
     def tree_flatten(self):
-        return (self.Curl, self.SrT, self.DivSrT, self.w_curl, self.w_srt, self.w_div), ()
+        return (self.Curl, self.SrT, self.DivSrT, self.w_curl, self.w_srt,
+                self.w_div, self.wb_curl, self.wb_srt, self.wb_div), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
-    def _w(self, w, out):
-        return w.reshape(out.shape) if out.ndim > 1 else w
+    def _w(self, w, wb, out):
+        if out.ndim == 1:
+            return w
+        if wb is not None and out.shape == wb.shape:
+            return wb
+        return w.reshape(out.shape)
 
     def curl(self, vel):
         out = self.Curl(vel)
-        return out / self._w(self.w_curl, out)
+        return out / self._w(self.w_curl, self.wb_curl, out)
 
     def strain_rate(self, vel):
         out = self.SrT(vel)
-        return out / self._w(self.w_srt, out)
+        return out / self._w(self.w_srt, self.wb_srt, out)
 
     def div_srt(self, s):
         out = self.DivSrT(s)
-        return out / self._w(self.w_div, out)
+        return out / self._w(self.w_div, self.wb_div, out)
 
 
 def v_tens_v(vel, dim):
@@ -156,10 +181,19 @@ def v_tens_v(vel, dim):
 
     Parity: base_problem.py:234-252 (computeVtensV).
     2D: [vx^2, vx vy, vy^2]; 3D adds [vy vz, vz^2, vz vx].
-    Layout-polymorphic: flat interleaved vector or (..., dim) grid.
+    Layout-polymorphic: flat interleaved vector, (..., dim) grid, or
+    parity-blocked (..., P^dim*dim) — channels regroup as (parity, comp),
+    so a trailing reshape exposes the per-node components.
     """
     flat = vel.ndim == 1
-    v = vel.reshape(-1, dim) if flat else vel
+    if flat:
+        v = vel.reshape(-1, dim)
+    elif vel.shape[-1] != dim:  # blocked: (..., nsub*dim) -> (..., nsub, dim)
+        nsub = vel.shape[-1] // dim
+        out = v_tens_v(vel.reshape(vel.shape[:-1] + (nsub, dim)), dim)
+        return out.reshape(vel.shape[:-1] + (nsub * out.shape[-1],))
+    else:
+        v = vel
     c = lambda i: v[..., i]
     if dim == 2:
         comps = [c(0) * c(0), c(0) * c(1), c(1) * c(1)]
@@ -212,7 +246,10 @@ def build_kle_system(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
         K = sop(K_el, dim, dim)
         Rw = sop(Rw_el, dim_w, dim)
         Rd = sop(Rd_el, 1, dim)
-        return KLESystem(K=K, Rw=Rw, Rd=Rd, diag_K=K.diagonal())
+        diag = K.diagonal()
+        gshape = tuple(reversed(mesh.npts)) + (dim,)
+        return KLESystem(K=K, Rw=Rw, Rd=Rd, diag_K=diag,
+                         diag_K_b=K.to_blocked(diag.reshape(gshape)))
 
     vdofs = mesh.cell_dofs(dim)
     wdofs = mesh.cell_dofs(dim_w)
@@ -265,6 +302,18 @@ def build_operators(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
     def expand(k):
         return jnp.asarray(np.repeat(w_node, k), dtype=dtype)
 
+    def expand_blocked(k):
+        """Blocked weights with pad slots = 1 (division-safe)."""
+        if not (mesh.uniform and hasattr(mesh, "npts")):
+            return None
+        from pynama_tpu.ops.conv import pad_mask, to_blocked
+
+        npg = tuple(reversed(mesh.npts))
+        g = np.repeat(w_node, k).reshape(npg + (k,))
+        wb = np.asarray(to_blocked(jnp.asarray(g), mesh.ngl))
+        pm = pad_mask(mesh.ngl, npg, k)
+        return jnp.asarray(wb + (1.0 - pm), dtype=dtype)
+
     return ProjectionOperators(
         Curl=Curl,
         SrT=SrT,
@@ -272,4 +321,7 @@ def build_operators(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
         w_curl=expand(dim_w),
         w_srt=expand(dim_s),
         w_div=expand(dim),
+        wb_curl=expand_blocked(dim_w),
+        wb_srt=expand_blocked(dim_s),
+        wb_div=expand_blocked(dim),
     )

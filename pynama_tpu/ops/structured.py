@@ -20,12 +20,17 @@ unstructured (Gmsh) meshes keep the general gather/GEMM/scatter path
 (pynama_tpu/ops/assembly.py).
 """
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _use_conv():
+    return os.environ.get("PYNAMA_NO_CONV", "0") != "1"
 
 
 def _axis_index(l, offset, step, nc):
@@ -214,6 +219,11 @@ class StructuredElementOp:
     def __call__(self, x):
         """Layout-polymorphic apply: grid in -> grid out, flat in -> flat out.
 
+        Default path: parity-blocked convolution (pynama_tpu/ops/conv.py)
+        — one MXU conv per apply instead of 2*N^dim strided slices;
+        measured >10x faster on TPU v5e at 1M dofs. Set PYNAMA_NO_CONV=1
+        to fall back to the slice/stack path below.
+
         IMPORTANT (TPU): pass GRID-shaped arrays in hot loops. Mixing a
         flat->grid reshape with other uses of the same flat vector in one
         fused program miscompiles on the axon TPU backend above ~500
@@ -223,15 +233,75 @@ class StructuredElementOp:
         small problems.
         """
         N = self.ngl
-        step = N - 1
-        off = (0,) * len(self.nelem)
         flat = x.ndim == 1
+        if not flat and x.shape == self.blocked_shape_in:
+            return self.apply_blocked(x)
         grid = x.reshape(self._grid_shape(self.k_in)) if flat else x
-        xe = grid_gather(grid, N, self.nelem, step, off)
-        ye = xe @ self.A.T
-        out = jnp.zeros(self._grid_shape(self.k_out), dtype=x.dtype)
-        out = grid_scatter_add(out, ye, N, self.nelem, step, off)
+        if _use_conv():
+            out = self._conv_apply(grid)
+        else:
+            step = N - 1
+            off = (0,) * len(self.nelem)
+            xe = grid_gather(grid, N, self.nelem, step, off)
+            ye = xe @ self.A.T
+            out = jnp.zeros(self._grid_shape(self.k_out), dtype=x.dtype)
+            out = grid_scatter_add(out, ye, N, self.nelem, step, off)
         return out.reshape(-1) if flat else out
+
+    def _kernels(self):
+        from pynama_tpu.ops.conv import build_conv_kernels
+
+        kern = getattr(self, "_kern", None)
+        if kern is None:
+            kern = build_conv_kernels(self.A, self.ngl, len(self.nelem),
+                                      self.k_out, self.k_in, self.A.dtype)
+            if not isinstance(self.A, jax.core.Tracer):
+                object.__setattr__(self, "_kern", kern)
+        return kern
+
+    def _conv_apply(self, grid):
+        from pynama_tpu.ops.conv import conv_stencil_apply
+
+        W, corr = self._kernels()
+        return conv_stencil_apply(grid, W, corr, self.ngl,
+                                  tuple(reversed(self.npts)), self.k_out)
+
+    # -- blocked layout (hot-loop) interface ----------------------------
+    @property
+    def npts_grid(self):
+        return tuple(reversed(self.npts))
+
+    @property
+    def blocked_shape_in(self):
+        from pynama_tpu.ops.conv import blocked_shape
+
+        return blocked_shape(self.ngl, self.npts_grid, self.k_in)
+
+    def to_blocked(self, grid):
+        from pynama_tpu.ops.conv import to_blocked
+
+        return to_blocked(grid, self.ngl)
+
+    def from_blocked(self, xb):
+        from pynama_tpu.ops.conv import from_blocked
+
+        return from_blocked(xb, self.ngl, self.npts_grid)
+
+    def apply_blocked(self, xb, corrections=True):
+        """Blocked-in/blocked-out apply (pad slots zeroed on output).
+
+        corrections=False skips the phantom-cell boundary corrections —
+        valid when the caller masks out every boundary row and column
+        (fully-Dirichlet masked operators), where the phantom terms are
+        annihilated anyway.
+        """
+        from pynama_tpu.ops.conv import conv_stencil_apply_blocked
+
+        W, corr = self._kernels()
+        return conv_stencil_apply_blocked(
+            xb, W, corr if corrections else (), self.ngl,
+            self.npts_grid, self.k_out,
+        )
 
     def diagonal(self):
         N = self.ngl

@@ -8,12 +8,19 @@ one-plane halo exchange over ICI, CG dot products and RK error norms are
 psum-reduced, and one adaptive time step compiles to a single SPMD XLA
 program.
 
+Each device's slab is itself a box grid, so the local apply is the SAME
+parity-blocked MXU convolution the single-chip path uses
+(pynama_tpu/ops/conv.py): the conv's phantom-cell boundary corrections
+make the local apply exactly the sum over local elements, and the
+interface planes' partial sums are completed by the halo exchange. Solver
+state lives in the blocked layout end to end (grid layout under
+PYNAMA_NO_CONV=1, where the slice/stack apply is used instead).
+
 Works for both the single-mask FreeSlip problems and the dual-mask
 no-slip/free-slip cavity solve.
 """
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -21,10 +28,12 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pynama_tpu.kle import v_tens_v
+from pynama_tpu.ops.structured import StructuredElementOp, _use_conv
 from pynama_tpu.parallel.slab import (
     AXIS,
     SlabDecomposition,
-    local_element_apply,
+    halo_sum_blocked,
+    halo_sum_grid,
 )
 from pynama_tpu.solvers.cg import cg_solve
 from pynama_tpu.solvers.rk import make_bs5_stepper
@@ -41,46 +50,84 @@ class ShardedNSProblem:
         m = problem.mesh
         dim, dim_w, dim_s = m.dim, m.dim_w, m.dim_s
         dt = problem.dtype
+        N = m.ngl
+        Pm1 = N - 1
+        self.blocked = _use_conv()
+
+        # local ops: same elemental matrices, slab-local box shape
+        nelem_loc = tuple(m.nelem[:-1]) + (sl.ne_loc,)
+        npts_loc = sl.local_npts
+        sysm, ops = problem.system, problem.operators
+
+        def lop(op, k_in, k_out):
+            return StructuredElementOp(op.A, N, nelem_loc, npts_loc,
+                                       k_in, k_out)
+
+        self.K_op = lop(sysm.K, dim, dim)
+        self.Rw_op = lop(sysm.Rw, dim_w, dim)
+        self.Curl_op = lop(ops.Curl, dim, dim_w)
+        self.SrT_op = lop(ops.SrT, dim, dim_s)
+        self.Div_op = lop(ops.DivSrT, dim_s, dim)
+        if self.blocked:
+            # pre-build conv kernels eagerly (host, cached on the op)
+            for op in (self.K_op, self.Rw_op, self.Curl_op, self.SrT_op,
+                       self.Div_op):
+                op._kernels()
+
+        # interface-plane channel count per dof family (blocked layout)
+        self.plane_c = {k: Pm1 ** (m.dim - 1) * k for k in (dim, dim_w, dim_s)}
 
         def arr(x):
             return jnp.asarray(x, dtype=dt)
 
-        # dof tables (P, cells_loc, k) and plane sizes per dof family
-        self.vdofs = jnp.asarray(sl.local_cell_dofs(dim))
-        self.wdofs = jnp.asarray(sl.local_cell_dofs(dim_w))
-        self.sdofs = jnp.asarray(sl.local_cell_dofs(dim_s))
-        self.plane = sl.plane
-        self.n_loc = sl.n_loc
+        def to_solver(x_global, k):
+            """flat global -> (P, *solver-layout) stacked, host-side."""
+            g = sl.to_local_grid(x_global, k)
+            if not self.blocked:
+                return g
+            from pynama_tpu.ops.conv import to_blocked
 
-        # shared elemental matrices (replicated)
-        sysm, ops = problem.system, problem.operators
-        self.K_el, self.Rw_el = sysm.K.A, sysm.Rw.A
-        self.Curl_el, self.SrT_el, self.Div_el = ops.Curl.A, ops.SrT.A, ops.DivSrT.A
+            return np.stack([np.asarray(to_blocked(jnp.asarray(g[d]), N))
+                             for d in range(n_dev)])
 
-        # distributed vectors (P, n_loc*k)
-        self.diag_K = arr(sl.to_local(sysm.diag_K, dim))
-        self.w_curl = arr(sl.to_local(ops.w_curl, dim_w))
-        self.w_srt = arr(sl.to_local(ops.w_srt, dim_s))
-        self.w_div = arr(sl.to_local(ops.w_div, dim))
-        self.mask = arr(sl.to_local(np.asarray(problem.free_mask).reshape(-1), dim))
+        def weight_solver(w_global, k):
+            """Division weights in solver layout, pad slots = 1."""
+            w = to_solver(w_global, k)
+            if self.blocked:
+                from pynama_tpu.ops.conv import pad_mask
+
+                pm = pad_mask(N, tuple(sl.local_grid_shape(k)[:-1]), k)
+                w = w + (1.0 - pm)[None]
+            return w
+
+        self._to_solver = to_solver
+
+        self.diag_K = arr(to_solver(sysm.diag_K, dim))
+        self.w_curl = arr(weight_solver(ops.w_curl, dim_w))
+        self.w_srt = arr(weight_solver(ops.w_srt, dim_s))
+        self.w_div = arr(weight_solver(ops.w_div, dim))
+        self.mask = arr(to_solver(np.asarray(problem.free_mask).reshape(-1),
+                                  dim))
         fm_fs = getattr(problem, "free_mask_fs", None)
-        self.mask_fs = (arr(sl.to_local(np.asarray(fm_fs).reshape(-1), dim))
+        self.mask_fs = (arr(to_solver(np.asarray(fm_fs).reshape(-1), dim))
                         if fm_fs is not None else None)
-        self.own_v = arr(sl.owned_weights(dim))
-        self.own_w = arr(sl.owned_weights(dim_w))
-        self.coords = arr(sl.to_local(np.asarray(m.coords).reshape(-1), dim)).reshape(
-            n_dev, -1, dim
-        )
+        self.own_v = arr(self._owned(dim))
+        self.own_w = arr(self._owned(dim_w))
+        # coords stay grid-shaped: analytic BC fns take (N, dim) points
+        self.coords = arr(sl.to_local_grid(
+            np.asarray(m.coords).reshape(-1), dim))
 
         # BC value providers: static vector or analytic function of (coords, t)
         self.vel_fn = getattr(problem, "vel_fn", None)
         self.vort_fn = getattr(problem, "vort_fn", None)
         if self.vel_fn is None:
-            self.u_bc = arr(sl.to_local(np.asarray(problem.vel_bc(0.0)).reshape(-1), dim))
+            self.u_bc = arr(to_solver(
+                np.asarray(problem.vel_bc(0.0)).reshape(-1), dim))
         else:
             self.u_bc = None
         bcw = getattr(problem, "bc_vort_mask", None)
-        self.bc_vort_mask = (arr(sl.to_local(np.asarray(bcw).reshape(-1), dim_w))
+        self.bc_vort_mask = (arr(to_solver(np.asarray(bcw).reshape(-1),
+                                           dim_w))
                              if bcw is not None else None)
 
         self.mesh_dev = sl.device_mesh(devices)
@@ -89,80 +136,110 @@ class ShardedNSProblem:
         self.n_vel_global = m.n_nodes * dim
         self.n_vort_global = m.n_nodes * dim_w
 
+    def _owned(self, k):
+        """Owned-dof weights in solver layout (pad slots 0)."""
+        sl, n_dev = self.slab, self.n_dev
+        w = sl.owned_grid_weights(k)
+        if not self.blocked:
+            return w
+        from pynama_tpu.ops.conv import to_blocked
+
+        N = self.p.mesh.ngl
+        return np.stack([np.asarray(to_blocked(jnp.asarray(w[d]), N))
+                         for d in range(n_dev)])
+
     # ------------------------------------------------------------------
     def shard(self, x_global, k):
-        """Host global vector -> device-sharded stacked local blocks."""
-        loc = self.slab.to_local(np.asarray(x_global), k)
-        return jax.device_put(jnp.asarray(loc, dtype=self.p.dtype), self.sharding)
+        """Host global vector -> device-sharded stacked local state."""
+        loc = self._to_solver(np.asarray(x_global).reshape(-1), k)
+        return jax.device_put(jnp.asarray(loc, dtype=self.p.dtype),
+                              self.sharding)
 
     def unshard(self, x_stacked, k):
-        return self.slab.from_local(np.asarray(x_stacked), k)
+        xs = np.asarray(x_stacked)
+        if self.blocked:
+            from pynama_tpu.ops.conv import from_blocked
+
+            N = self.p.mesh.ngl
+            npg = tuple(self.slab.local_grid_shape(k)[:-1])
+            xs = np.stack([
+                np.asarray(from_blocked(jnp.asarray(xs[d]), N, npg))
+                for d in range(self.n_dev)
+            ])
+        return self.slab.from_local_grid(xs)
 
     # ------------------------------------------------------------------
+    def _apply(self, op, x, k_out):
+        """Local element apply + halo completion, in the solver layout."""
+        nd = self.n_dev
+        if self.blocked:
+            y = op.apply_blocked(x)
+            return halo_sum_blocked(y, self.plane_c[k_out], nd)
+        return halo_sum_grid(op(x), nd)
+
+    def _grid_to_solver(self, g, k):
+        """Inside-shard conversion of a freshly built local grid array."""
+        if not self.blocked:
+            return g
+        from pynama_tpu.ops.conv import to_blocked
+
+        return to_blocked(g, self.p.mesh.ngl)
+
     def _local_fns(self):
         """Build the inside-shard_map physics, closing over replicated data."""
         p, nd = self.p, self.n_dev
         dim, dim_w, dim_s = p.dim, p.dim_w, p.dim_s
-        nv = self.n_loc * dim
-        nw = self.n_loc * dim_w
-        ns = self.n_loc * dim_s
-        pk_v, pk_w, pk_s = self.plane * dim, self.plane * dim_w, self.plane * dim_s
-        K_el, Rw_el = self.K_el, self.Rw_el
-        Curl_el, SrT_el, Div_el = self.Curl_el, self.SrT_el, self.Div_el
         mu, rho = p.mu, p.rho
+        K_op, Rw_op = self.K_op, self.Rw_op
+        Curl_op, SrT_op, Div_op = self.Curl_op, self.SrT_op, self.Div_op
 
-        def K_apply(vd, x):
-            return local_element_apply(K_el, x, vd, vd, nv, pk_v, nd)
-
-        def Rw_apply(vd, wd, w):
-            return local_element_apply(Rw_el, w, wd, vd, nv, pk_v, nd)
-
-        def solve_masked(vd, wd, diag, mask, vort, u_bc, x0, pdot, rtol, maxiter):
+        def solve_masked(diag, mask, vort, u_bc, x0, pdot, rtol, maxiter):
             bc = (1.0 - mask) * u_bc
-            b = mask * (Rw_apply(vd, wd, vort) - K_apply(vd, bc)) + bc
+            b = mask * (self._apply(Rw_op, vort, dim)
+                        - self._apply(K_op, bc, dim)) + bc
             m_inv = 1.0 / (mask * diag + (1.0 - mask))
 
             def A(x):
-                return mask * K_apply(vd, mask * x) + (1.0 - mask) * x
+                return mask * self._apply(K_op, mask * x, dim) \
+                    + (1.0 - mask) * x
 
             x0 = mask * x0 + bc
             res = cg_solve(A, b, x0=x0, m_inv=m_inv, rtol=rtol,
                            maxiter=maxiter, dot=pdot)
             return res.x
 
-        def curl(vd, wd, wc, u):
-            return local_element_apply(Curl_el, u, vd, wd, nw, pk_w, nd) / wc
-
-        def srt(vd, sd, ws, u):
-            return local_element_apply(SrT_el, u, vd, sd, ns, pk_s, nd) / ws
-
-        def div_srt(sd, vd, wv, s):
-            return local_element_apply(Div_el, s, sd, vd, nv, pk_v, nd) / wv
+        def curl(wc, u):
+            return self._apply(Curl_op, u, dim_w) / wc
 
         def transport_rhs(loc, t, vort, vel_ws, pdot, rtol, maxiter):
-            (vd, wd, sd, diag, mask, mask_fs, wc, ws, wv, u_bc_static, coords,
-             bcw) = loc
+            (diag, mask, mask_fs, wc, ws, wv, u_bc_static, coords, bcw) = loc
             if self.vel_fn is not None:
-                u_bc = self.vel_fn(coords, p.nu, t).reshape(-1)
+                pts = coords.reshape(-1, dim)
+                u = self.vel_fn(pts, p.nu, t).reshape(coords.shape)
+                u_bc = self._grid_to_solver(u, dim)
             else:
                 u_bc = u_bc_static
             if self.vort_fn is not None and bcw is not None:
-                exact_w = self.vort_fn(coords, p.nu, t).reshape(-1)
+                pts = coords.reshape(-1, dim)
+                ew = self.vort_fn(pts, p.nu, t).reshape(
+                    coords.shape[:-1] + (dim_w,))
+                exact_w = self._grid_to_solver(ew, dim_w)
                 vort = vort * (1.0 - bcw) + exact_w * bcw
             if mask_fs is not None:
-                vel_fs = solve_masked(vd, wd, diag, mask_fs, vort, u_bc,
+                vel_fs = solve_masked(diag, mask_fs, vort, u_bc,
                                       vel_ws, pdot, rtol, maxiter)
                 fsfree = mask_fs - mask
                 vel_fs = vel_fs * (1.0 - fsfree) + u_bc * fsfree
-                vort2 = curl(vd, wd, wc, vel_fs)
-                vel = solve_masked(vd, wd, diag, mask, vort2, u_bc,
+                vort2 = curl(wc, vel_fs)
+                vel = solve_masked(diag, mask, vort2, u_bc,
                                    vel_fs, pdot, rtol, maxiter)
             else:
-                vel = solve_masked(vd, wd, diag, mask, vort, u_bc,
+                vel = solve_masked(diag, mask, vort, u_bc,
                                    vel_ws, pdot, rtol, maxiter)
-            aux = 2.0 * mu * srt(vd, sd, ws, vel) - rho * v_tens_v(vel, dim)
-            r = div_srt(sd, vd, wv, aux) / rho
-            return curl(vd, wd, wc, r), vel
+            aux = 2.0 * mu * (self._apply(SrT_op, vel, dim_s) / ws) \
+                - rho * v_tens_v(vel, dim)
+            r = (self._apply(Div_op, aux, dim) / wv) / rho
+            return curl(wc, r), vel
 
         return transport_rhs
 
@@ -170,9 +247,9 @@ class ShardedNSProblem:
     def build_step(self, kle_rtol=None, kle_maxiter=None, atol=None, rtol=None):
         """jit-compiled distributed adaptive step: (w, t, dt, vel, f1) -> ...
 
-        The returned function takes stacked-sharded (P, n_loc*k) arrays and
-        replicated scalars and runs ONE accepted BS5(4) step as a single
-        SPMD program.
+        The returned function takes stacked-sharded solver-layout arrays
+        and replicated scalars and runs ONE accepted BS5(4) step as a
+        single SPMD program.
         """
         p = self.p
         kle_rtol = kle_rtol if kle_rtol is not None else p.kle_rtol
@@ -190,11 +267,11 @@ class ShardedNSProblem:
         has_ubc = self.u_bc is not None
         has_bcw = self.bc_vort_mask is not None
 
-        def body(vdofs, wdofs, sdofs, diag, mask, maskfs, wc, ws, wv, ubc,
-                 coords, bcw, own_v, own_w, w, t, dt, vel, f1, t_end):
+        def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
+                 own_v, own_w, w, t, dt, vel, f1, t_end):
             sq = lambda x: x[0]
-            loc = (sq(vdofs), sq(wdofs), sq(sdofs), sq(diag), sq(mask),
-                   sq(maskfs) if has_fs else None, sq(wc), sq(ws), sq(wv),
+            loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
+                   sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
                    sq(bcw) if has_bcw else None)
             ov = sq(own_v)
@@ -204,7 +281,8 @@ class ShardedNSProblem:
                 return jax.lax.psum(jnp.sum(a * b * ov), AXIS)
 
             def rhs(tt, ww, aux):
-                return transport_rhs(loc, tt, ww, aux, pdot, kle_rtol, kle_maxiter)
+                return transport_rhs(loc, tt, ww, aux, pdot, kle_rtol,
+                                     kle_maxiter)
 
             def wlte_norm(err, y_old, y_new, a, r):
                 wgt = a + r * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
@@ -218,7 +296,7 @@ class ShardedNSProblem:
             return (res.y[None], res.t, res.dt_next, res.aux[None],
                     res.f_new[None], res.wlte)
 
-        in_specs = tuple([spec_d] * 14 + [spec_d, spec_r, spec_r, spec_d,
+        in_specs = tuple([spec_d] * 11 + [spec_d, spec_r, spec_r, spec_d,
                                           spec_d, spec_r])
         out_specs = (spec_d, spec_r, spec_r, spec_d, spec_d, spec_r)
         fn = shard_map(
@@ -226,7 +304,7 @@ class ShardedNSProblem:
             check_vma=False,
         )
 
-        statics = (self.vdofs, self.wdofs, self.sdofs, self.diag_K, self.mask,
+        statics = (self.diag_K, self.mask,
                    self.mask_fs if has_fs else self.mask,
                    self.w_curl, self.w_srt, self.w_div,
                    self.u_bc if has_ubc else self.diag_K, self.coords,
@@ -250,12 +328,7 @@ class ShardedNSProblem:
         dt = jnp.asarray(p.dt0, dtype=p.dtype)
         t_end = jnp.asarray(p.t_end, dtype=p.dtype)
 
-        # initial FSAL derivative: one distributed rhs eval via a 0-dt trick
-        # (cheap alternative: evaluate through the first step's attempt)
-        f1 = jnp.zeros_like(w)
-        # bootstrap: treat f1=0 for the very first attempt; the embedded
-        # error will reject and retry with the proper controller if needed.
-        # Cleaner: evaluate the rhs once distributed:
+        # initial FSAL derivative: one distributed rhs eval
         f1 = self._eval_rhs_once(w, t, vel)
 
         n = 0
@@ -276,11 +349,11 @@ class ShardedNSProblem:
         has_ubc = self.u_bc is not None
         has_bcw = self.bc_vort_mask is not None
 
-        def body(vdofs, wdofs, sdofs, diag, mask, maskfs, wc, ws, wv, ubc,
-                 coords, bcw, own_v, w, vel, t):
+        def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
+                 own_v, w, vel, t):
             sq = lambda x: x[0]
-            loc = (sq(vdofs), sq(wdofs), sq(sdofs), sq(diag), sq(mask),
-                   sq(maskfs) if has_fs else None, sq(wc), sq(ws), sq(wv),
+            loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
+                   sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
                    sq(bcw) if has_bcw else None)
             ov = sq(own_v)
@@ -292,14 +365,14 @@ class ShardedNSProblem:
                                  self.p.kle_rtol, self.p.kle_maxiter)
             return f[None]
 
-        statics = (self.vdofs, self.wdofs, self.sdofs, self.diag_K, self.mask,
+        statics = (self.diag_K, self.mask,
                    self.mask_fs if has_fs else self.mask,
                    self.w_curl, self.w_srt, self.w_div,
                    self.u_bc if has_ubc else self.diag_K, self.coords,
                    self.bc_vort_mask if has_bcw else self.w_curl)
         fn = shard_map(
             body, mesh=self.mesh_dev,
-            in_specs=tuple([spec_d] * 13 + [spec_d, spec_d, P()]),
+            in_specs=tuple([spec_d] * 10 + [spec_d, spec_d, P()]),
             out_specs=spec_d, check_vma=False,
         )
         return jax.jit(fn)(*statics, self.own_v, w, vel, t)

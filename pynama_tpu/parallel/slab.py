@@ -97,6 +97,37 @@ class SlabDecomposition:
         w[1:, : self.plane * k] = 0.0
         return w
 
+    # -- grid-shaped distribution ---------------------------------------
+    @property
+    def local_npts(self):
+        """Local node counts, MESH-axis order (last axis = sliced)."""
+        return tuple(self.mesh.npts[:-1]) + (self.rows_loc,)
+
+    def local_grid_shape(self, k: int):
+        """Local grid shape, GRID order (sliced axis slowest/first)."""
+        return (self.rows_loc,) + tuple(reversed(self.mesh.npts[:-1])) + (k,)
+
+    def to_local_grid(self, x_global, k: int):
+        """(n_nodes*k,) -> (P, rows_loc, ..., k) stacked local grids."""
+        g = np.asarray(x_global).reshape(
+            tuple(reversed(self.mesh.npts)) + (k,)
+        )
+        return np.stack(
+            [g[r0 : r0 + self.rows_loc] for r0 in self.row0]
+        )
+
+    def from_local_grid(self, x_stacked):
+        """(P, rows_loc, ..., k) -> flat (n_nodes*k,), dedup first planes."""
+        xs = np.asarray(x_stacked)
+        parts = [xs[0]] + [xs[d][1:] for d in range(1, self.n_dev)]
+        return np.concatenate(parts).reshape(-1)
+
+    def owned_grid_weights(self, k: int):
+        """(P, rows_loc, ..., k): 1 on owned planes, 0 on duplicated."""
+        w = np.ones((self.n_dev,) + self.local_grid_shape(k))
+        w[1:, 0] = 0.0
+        return w
+
     # -- device mesh -----------------------------------------------------
     def device_mesh(self, devices=None):
         devices = devices if devices is not None else jax.devices()[: self.n_dev]
@@ -141,6 +172,50 @@ def local_element_apply(A, x_loc, in_dofs, out_dofs, out_size, plane_k, n_dev):
     y = jnp.zeros((out_size,), dtype=x_loc.dtype)
     y = y.at[out_dofs.reshape(-1)].add(ye.reshape(-1))
     return halo_sum(y, plane_k, n_dev)
+
+
+def halo_sum_grid(x, n_dev: int):
+    """halo_sum for GRID-shaped local state (rows_loc, ..., k).
+
+    The first/last node planes along grid axis 0 are the element-interface
+    planes shared with the neighbor slabs; after a local element apply they
+    hold partial sums completed here via ppermute.
+    """
+    if n_dev == 1:
+        return x
+    from_above = jax.lax.ppermute(
+        x[0], AXIS, [(i, i - 1) for i in range(1, n_dev)]
+    )
+    from_below = jax.lax.ppermute(
+        x[-1], AXIS, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    x = x.at[-1].add(from_above)
+    x = x.at[0].add(from_below)
+    return x
+
+
+def halo_sum_blocked(xb, plane_c: int, n_dev: int):
+    """halo_sum for parity-BLOCKED local state (B0, ..., P^dim*k).
+
+    Grid plane r maps to (block r//P, sub r%P); channel packing puts grid
+    axis 0's sub-index most significant, so the interface planes (sub 0 of
+    block 0 / block B0-1) are the first ``plane_c = P^(dim-1)*k`` channels
+    of those blocks. Pad slots in the last block sit at sub>0 and are
+    untouched.
+    """
+    if n_dev == 1:
+        return xb
+    lo = xb[0, ..., :plane_c]
+    hi = xb[-1, ..., :plane_c]
+    from_above = jax.lax.ppermute(
+        lo, AXIS, [(i, i - 1) for i in range(1, n_dev)]
+    )
+    from_below = jax.lax.ppermute(
+        hi, AXIS, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    xb = xb.at[-1, ..., :plane_c].add(from_above)
+    xb = xb.at[0, ..., :plane_c].add(from_below)
+    return xb
 
 
 def make_pdot(w_owned):

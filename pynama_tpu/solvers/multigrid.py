@@ -79,6 +79,8 @@ class _Level:
     K: object                 # elemental K apply (StructuredElementOp)
     diag: jnp.ndarray         # assembled diag of K (unmasked)
     mask: jnp.ndarray         # Dirichlet free mask (coarse levels)
+    diag_b: Optional[jnp.ndarray] = None  # parity-blocked variants (TPU
+    mask_b: Optional[jnp.ndarray] = None  # hot path runs fully blocked)
     # transfer to the NEXT-COARSER level (None on the coarsest)
     ratio: int = 2            # coarsening ratio toward the next level
     interp_k: Optional[jnp.ndarray] = None    # (r^dim, nnode*d, nnode*d)
@@ -170,6 +172,9 @@ class MGPreconditioner:
                 ),
                 mask=jnp.asarray(dmask.reshape(gshape), dtype=dtype),
             )
+            if hasattr(sysm.K, "to_blocked"):
+                lvl.diag_b = sysm.K.to_blocked(lvl.diag)
+                lvl.mask_b = sysm.K.to_blocked(lvl.mask)
             if li + 1 < len(meshes):
                 lvl.ratio = self.ratios[li]
                 lvl.interp_k = jnp.asarray(interp_for(lvl.ratio), dtype=dtype)
@@ -226,8 +231,13 @@ class MGPreconditioner:
         self.coarse_inv = jnp.asarray(np.linalg.inv(K_masked), dtype=dtype)
 
     # ------------------------------------------------------------------
-    def _masked_apply(self, lvl: _Level, mask, x):
-        return mask * lvl.K(mask * x) + (1.0 - mask) * x
+    def _masked_apply(self, lvl: _Level, mask, x, corrections=True):
+        if (x.ndim > 1 and hasattr(lvl.K, "apply_blocked")
+                and x.shape == lvl.K.blocked_shape_in):
+            Kx = lvl.K.apply_blocked(mask * x, corrections=corrections)
+        else:
+            Kx = lvl.K(mask * x)
+        return mask * Kx + (1.0 - mask) * x
 
     def _subcell_params(self, coarse_mesh, s, ratio):
         """(ncells, step, offset) for fine-grid access of subcell s."""
@@ -278,50 +288,103 @@ class MGPreconditioner:
 
     # ------------------------------------------------------------------
     def build(self, fine_mask) -> Callable:
-        """Return M^{-1}(r) closing over the fine-level free-dof mask."""
+        """Return M^{-1}(r) closing over the fine-level free-dof mask.
+
+        Layout follows the mask: a parity-blocked fine_mask produces a
+        V-cycle whose smoothers run entirely in the blocked layout (the
+        TPU hot path); a grid-shaped mask reproduces the grid V-cycle.
+        Transfers convert at level boundaries (blocked -> grid -> blocked)
+        — they run once per level per cycle vs ~8 smoother applies.
+        """
         assert self.usable
         levels = self.levels
         nlev = len(levels)
         lam_max = self.lam_max
+        blocked = (levels[0].mask_b is not None
+                   and fine_mask.shape == levels[0].mask_b.shape)
+        from pynama_tpu.ops.conv import mask_frees_boundary
 
-        def smooth(li, mask, x, b, n):
+        # phantom-cell corrections matter only where the mask leaves
+        # boundary dofs free; coarse-level masks are fully Dirichlet
+        corr0 = mask_frees_boundary(
+            fine_mask, levels[0].mesh.ngl,
+            tuple(reversed(levels[0].mesh.npts)),
+        )
+        needs_corr = [corr0] + [False] * (nlev - 1)
+
+        def ldata(li):
+            lvl = levels[li]
+            if li == 0:
+                mask = fine_mask
+                diag = lvl.diag_b if blocked else lvl.diag
+            else:
+                mask = lvl.mask_b if blocked else lvl.mask
+                diag = lvl.diag_b if blocked else lvl.diag
+            return lvl, mask, diag
+
+        def smooth(li, x, b, n, x_is_zero=False):
             """Chebyshev(n) smoothing on D^-1 K over [lam_max/4, lam_max].
 
             Standard fourth-kind-free Chebyshev iteration (hypre-style):
             pointwise, fuses to a few masked K applies + axpys.
+            x_is_zero skips the initial residual apply (pre-smooth).
             """
-            lvl = levels[li]
+            lvl, mask, diag = ldata(li)
             lmax = lam_max[li]
             lmin = lmax / 4.0
             theta = 0.5 * (lmax + lmin)
             delta = 0.5 * (lmax - lmin)
-            dinv = 1.0 / (mask * lvl.diag + (1.0 - mask))
-            r = b - self._masked_apply(lvl, mask, x)
+            dinv = 1.0 / (mask * diag + (1.0 - mask))
+            corr = needs_corr[li]
+            if x_is_zero:
+                x, r = jnp.zeros_like(b), b
+            else:
+                r = b - self._masked_apply(lvl, mask, x, corr)
             d = (1.0 / theta) * (dinv * r)
             sigma = theta / delta
             rho = 1.0 / sigma
             for _ in range(n):
                 x = x + d
-                r = r - self._masked_apply(lvl, mask, d)
+                r = r - self._masked_apply(lvl, mask, d, corr)
                 rho_new = 1.0 / (2.0 * sigma - rho)
                 d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
                 rho = rho_new
             return x + d
 
-        def vcycle(li, r):
+        def restrict(li, res):
             lvl = levels[li]
-            mask = fine_mask if li == 0 else lvl.mask
+            nxt = levels[li + 1]
+            if blocked:
+                res = lvl.K.from_blocked(res)
+            rc = self._restrict(lvl, nxt.mesh, res)
+            return nxt.K.to_blocked(rc) if blocked else rc
+
+        def prolong(li, xc):
+            lvl = levels[li]
+            nxt = levels[li + 1]
+            if blocked:
+                xc = nxt.K.from_blocked(xc)
+            xf = self._prolong(lvl, nxt.mesh, xc)
+            return lvl.K.to_blocked(xf) if blocked else xf
+
+        def vcycle(li, r):
+            lvl, mask, _ = ldata(li)
             if li == nlev - 1:
                 # tiny grid: flat<->grid reshape is safe here (the TPU
                 # reshape miscompile needs >500 points per axis)
+                if blocked:
+                    rg = lvl.K.from_blocked(r)
+                    xg = (self.coarse_inv @ rg.reshape(-1)).reshape(rg.shape)
+                    return lvl.K.to_blocked(xg)
                 return (self.coarse_inv @ r.reshape(-1)).reshape(r.shape)
-            x = smooth(li, mask, jnp.zeros_like(r), r, self.pre)
-            res = mask * (r - self._masked_apply(lvl, mask, x))
-            next_mesh = levels[li + 1].mesh
-            rc = levels[li + 1].mask * self._restrict(lvl, next_mesh, res)
+            x = smooth(li, None, r, self.pre, x_is_zero=True)
+            res = mask * (r - self._masked_apply(lvl, mask, x,
+                                                 needs_corr[li]))
+            _, mask_c, _ = ldata(li + 1)
+            rc = mask_c * restrict(li, res)
             xc = vcycle(li + 1, rc)
-            x = x + mask * self._prolong(lvl, next_mesh, xc)
-            x = smooth(li, mask, x, r, self.post)
+            x = x + mask * prolong(li, xc)
+            x = smooth(li, x, r, self.post)
             return x
 
         def minv(r):

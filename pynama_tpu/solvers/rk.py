@@ -154,6 +154,7 @@ def make_bs5_host_stepper(
     min_factor: float = 0.1,
     max_factor: float = 10.0,
     max_attempts: int = 12,
+    wlte_norm: Callable = _wlte_norm,
 ):
     """Host-orchestrated BS5(4) step: one jitted program per stage.
 
@@ -180,7 +181,7 @@ def make_bs5_host_stepper(
     def finish_fn(ks, y, t, dt):
         y5 = y + dt * _combine(jnp.asarray(BS5_B, dtype=y.dtype), ks)
         err = dt * _combine(jnp.asarray(BS5_B - BS5_BEMBED, dtype=y.dtype), ks)
-        wlte = _wlte_norm(err, y, y5, atol, rtol)
+        wlte = wlte_norm(err, y, y5, atol, rtol)
         return y5, wlte
 
     def step(y, t, dt, aux, f1, t_end):

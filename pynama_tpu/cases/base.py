@@ -44,12 +44,23 @@ class BaseProblem:
         self.name = config.get("name", "case")
 
         domain = config.get("domain", {})
-        box = domain.get("box-mesh", domain)  # some reference yamls are flat
-        self.nelem = tuple(overrides.get("nelem", box["nelem"]))
-        self.lower = tuple(_eval_seq(box.get("lower", (0,) * len(self.nelem))))
-        self.upper = tuple(_eval_seq(box.get("upper", (1,) * len(self.nelem))))
+        self.gmsh_file = overrides.get("gmsh_file", domain.get("gmsh-file"))
+        if self.gmsh_file:
+            # unstructured Gmsh mesh (parity: dmplex.py:22-23); dim comes
+            # from the file contents (hexes -> 3D, quads -> 2D)
+            from pynama_tpu.mesh.gmsh import read_msh
+
+            self._gmsh_data = read_msh(self.gmsh_file)
+            self.dim = 3 if self._gmsh_data.hexes is not None else 2
+            self.nelem = None
+            self.lower = self.upper = None
+        else:
+            box = domain.get("box-mesh", domain)  # some reference yamls are flat
+            self.nelem = tuple(overrides.get("nelem", box["nelem"]))
+            self.lower = tuple(_eval_seq(box.get("lower", (0,) * len(self.nelem))))
+            self.upper = tuple(_eval_seq(box.get("upper", (1,) * len(self.nelem))))
+            self.dim = len(self.nelem)
         self.ngl = int(overrides.get("ngl", domain["ngl"]))
-        self.dim = len(self.nelem)
         self.dim_w = 1 if self.dim == 2 else 3
         self.dim_s = 3 if self.dim == 2 else 6
 
@@ -98,9 +109,27 @@ class BaseProblem:
     # -- setup ----------------------------------------------------------
     def setup(self):
         """Parity: BaseProblem.setUp (base_problem.py:46-51)."""
-        self.mesh = BoxMesh(
-            nelem=self.nelem, lower=self.lower, upper=self.upper, ngl=self.ngl
-        )
+        if self.gmsh_file:
+            d = self._gmsh_data
+            if d.hexes is not None:
+                from pynama_tpu.mesh.unstructured import UnstructuredHexMesh
+
+                self.mesh = UnstructuredHexMesh(
+                    d.points, d.hexes, self.ngl,
+                    boundary_quads=d.boundary_quads,
+                )
+            else:
+                from pynama_tpu.mesh.unstructured import UnstructuredQuadMesh
+
+                self.mesh = UnstructuredQuadMesh(
+                    d.points, d.quads, self.ngl,
+                    boundary_lines=d.boundary_lines,
+                )
+        else:
+            self.mesh = BoxMesh(
+                nelem=self.nelem, lower=self.lower, upper=self.upper,
+                ngl=self.ngl,
+            )
         self.elem = SpectralElement(self.ngl, self.dim)
         self.system = build_kle_system(self.mesh, self.elem, self.dtype)
         self.operators = build_operators(self.mesh, self.elem, self.dtype)
@@ -115,8 +144,14 @@ class BaseProblem:
         return self
 
     def _gshape(self, k):
-        """Grid layout of a k-components-per-node field (TPU-safe)."""
-        return tuple(reversed(self.mesh.npts)) + (k,)
+        """Solver layout of a k-components-per-node field.
+
+        Grid-shaped on structured meshes (TPU-safe); flat interleaved on
+        unstructured meshes (no grid structure to expose).
+        """
+        if hasattr(self.mesh, "npts"):
+            return tuple(reversed(self.mesh.npts)) + (k,)
+        return (self.mesh.n_nodes * k,)
 
     def zero_vel(self):
         return jnp.zeros(self._gshape(self.dim), dtype=self.dtype)

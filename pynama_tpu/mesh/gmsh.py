@@ -1,23 +1,30 @@
-"""Gmsh .msh reader (ASCII v2.2 and v4.1) for quad meshes.
+"""Gmsh .msh reader (ASCII v2.2 and v4.1) for quad and hex meshes.
 
 Parity: the reference creates DMPlex meshes from Gmsh files
 (/root/reference/src/domain/dmplex.py:22-23 createFromFile) and relies on
 PETSc's parser. This is the framework-native equivalent: it extracts node
-coordinates, 4-node quad connectivity (gmsh type 3) and boundary line
-elements (type 1) grouped by physical name.
+coordinates, cell connectivity (4-node quads, gmsh type 3, for 2D meshes;
+8-node hexahedra, type 5, for 3D) and boundary elements (2-node lines,
+type 1, in 2D; 4-node quads in 3D) grouped by physical name.
+
+A file containing hexahedra is a 3D mesh: its type-3 quads are boundary
+surface elements, not cells.
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict, Optional
 
 import numpy as np
 
 
 @dataclass
 class GmshData:
-    points: np.ndarray                    # (nv, 2)
-    quads: np.ndarray                     # (nc, 4) gmsh ccw corner order
-    boundary_lines: Dict[str, np.ndarray] # name -> (nl, 2) corner pairs
+    points: np.ndarray                     # (nv, 2) for 2D, (nv, 3) for 3D
+    quads: Optional[np.ndarray]            # 2D cells (nc, 4), ccw; None in 3D
+    boundary_lines: Dict[str, np.ndarray]  # 2D: name -> (nl, 2) corner pairs
+    hexes: Optional[np.ndarray] = None     # 3D cells (nc, 8), gmsh order
+    boundary_quads: Dict[str, np.ndarray] = field(default_factory=dict)
+    # 3D: name -> (nq, 4) ccw corner quads
 
 
 def read_msh(path: str) -> GmshData:
@@ -47,40 +54,63 @@ def read_msh(path: str) -> GmshData:
             phys[int(parts[1])] = parts[2].strip().strip('"')
 
     if version < 4.0:
-        return _read_v2(sections, phys)
-    return _read_v4(sections, phys)
+        pts, elems = _read_v2(sections, phys)
+    else:
+        pts, elems = _read_v4(sections, phys)
+    return _classify(pts, elems)
+
+
+def _classify(pts, elems):
+    """elems: list of (etype, physical_name, node_ids)."""
+    hexes = [nodes for et, _, nodes in elems if et == 5]
+    if hexes:
+        bquads: Dict[str, list] = {}
+        for et, pname, nodes in elems:
+            if et == 3:
+                bquads.setdefault(pname or "boundary", []).append(nodes)
+        return GmshData(
+            points=pts,
+            quads=None,
+            boundary_lines={},
+            hexes=np.asarray(hexes, dtype=np.int64),
+            boundary_quads={k: np.asarray(v, dtype=np.int64)
+                            for k, v in bquads.items()},
+        )
+    quads = [nodes for et, _, nodes in elems if et == 3]
+    blines: Dict[str, list] = {}
+    for et, pname, nodes in elems:
+        if et == 1:
+            blines.setdefault(pname or "boundary", []).append(nodes)
+    return GmshData(
+        points=pts[:, :2],
+        quads=np.asarray(quads, dtype=np.int64),
+        boundary_lines={k: np.asarray(v, dtype=np.int64)
+                        for k, v in blines.items()},
+    )
 
 
 def _read_v2(sections, phys):
     node_lines = sections["Nodes"]
     n = int(node_lines[0])
     ids = np.empty(n, dtype=np.int64)
-    pts = np.empty((n, 2))
+    pts = np.empty((n, 3))
     for k in range(n):
         parts = node_lines[1 + k].split()
         ids[k] = int(parts[0])
-        pts[k] = [float(parts[1]), float(parts[2])]
+        pts[k] = [float(parts[1]), float(parts[2]), float(parts[3])]
     remap = {int(g): k for k, g in enumerate(ids)}
 
     elem_lines = sections["Elements"]
     ne = int(elem_lines[0])
-    quads, blines = [], {}
+    elems = []
     for k in range(ne):
         parts = [int(x) for x in elem_lines[1 + k].split()]
         etype, ntags = parts[1], parts[2]
         tags = parts[3 : 3 + ntags]
         nodes = parts[3 + ntags :]
-        pname = phys.get(tags[0], str(tags[0])) if tags else "boundary"
-        if etype == 3:  # 4-node quad
-            quads.append([remap[v] for v in nodes])
-        elif etype == 1:  # 2-node line
-            blines.setdefault(pname, []).append([remap[v] for v in nodes])
-    return GmshData(
-        points=pts,
-        quads=np.asarray(quads, dtype=np.int64),
-        boundary_lines={k: np.asarray(v, dtype=np.int64)
-                        for k, v in blines.items()},
-    )
+        pname = phys.get(tags[0], str(tags[0])) if tags else None
+        elems.append((etype, pname, [remap[v] for v in nodes]))
+    return pts, elems
 
 
 def _read_v4(sections, phys):
@@ -102,7 +132,7 @@ def _read_v4(sections, phys):
 
     node_lines = sections["Nodes"]
     nblocks, ntotal = int(node_lines[0].split()[0]), int(node_lines[0].split()[1])
-    pts = np.empty((ntotal, 2))
+    pts = np.empty((ntotal, 3))
     remap = {}
     row, count = 1, 0
     for _ in range(nblocks):
@@ -113,14 +143,14 @@ def _read_v4(sections, phys):
         row += nb
         for k in range(nb):
             parts = node_lines[row + k].split()
-            pts[count] = [float(parts[0]), float(parts[1])]
+            pts[count] = [float(parts[0]), float(parts[1]), float(parts[2])]
             remap[tags[k]] = count
             count += 1
         row += nb
 
     elem_lines = sections["Elements"]
     nblocks = int(elem_lines[0].split()[0])
-    quads, blines = [], {}
+    elems = []
     row = 1
     for _ in range(nblocks):
         hdr = elem_lines[row].split()
@@ -129,17 +159,6 @@ def _read_v4(sections, phys):
         pname = phys.get(ent_phys.get((edim, etag)), None)
         for k in range(nb):
             parts = [int(x) for x in elem_lines[row + k].split()]
-            nodes = parts[1:]
-            if etype == 3:
-                quads.append([remap[v] for v in nodes])
-            elif etype == 1:
-                blines.setdefault(pname or f"ent{etag}", []).append(
-                    [remap[v] for v in nodes]
-                )
+            elems.append((etype, pname, [remap[v] for v in parts[1:]]))
         row += nb
-    return GmshData(
-        points=pts,
-        quads=np.asarray(quads, dtype=np.int64),
-        boundary_lines={k: np.asarray(v, dtype=np.int64)
-                        for k, v in blines.items()},
-    )
+    return pts, elems

@@ -14,7 +14,10 @@ from typing import Dict, Optional
 import numpy as np
 
 from pynama_tpu.elements.quadrature import lobatto_points
-from pynama_tpu.mesh.native import quad_highorder_numbering
+from pynama_tpu.mesh.native import (
+    hex_highorder_numbering,
+    quad_highorder_numbering,
+)
 
 
 class UnstructuredQuadMesh:
@@ -141,6 +144,186 @@ class UnstructuredQuadMesh:
                 counts[key] = counts.get(key, 0) + 1
         pairs = [k for k, v in counts.items() if v == 1]
         return self._line_nodes(np.asarray(pairs, dtype=np.int64))
+
+    # -- dof helpers (same layout as BoxMesh) ------------------------------
+    def cell_dofs(self, k: int):
+        c2n = self.cell2node.astype(np.int64)
+        dofs = c2n[:, :, None] * k + np.arange(k)[None, None, :]
+        return dofs.reshape(self.n_cells, -1).astype(np.int32)
+
+    def node_dofs(self, nodes, k: int):
+        nodes = np.asarray(nodes, dtype=np.int64)
+        dofs = nodes[:, None] * k + np.arange(k)[None, :]
+        return dofs.reshape(-1).astype(np.int32)
+
+
+class UnstructuredHexMesh:
+    """3D hexahedral spectral-element mesh from corner connectivity.
+
+    Parity: the reference accepts any Gmsh mesh through DMPlex
+    (/root/reference/src/domain/dmplex.py:16-23) with dimension-generic
+    high-order numbering (indices.py:22-122). Shared edges and faces are
+    deduplicated with orientation canonicalization in
+    hex_highorder_numbering; geometry is trilinear (corner-based), like
+    the reference's HCoo corner interpolation (dmplex.py:66-95).
+    """
+
+    def __init__(self, points, hexes_gmsh, ngl, boundary_quads=None):
+        """points (nv,3); hexes_gmsh (nc,8) gmsh corner order (bottom quad
+        ccw 0-3, top quad ccw 4-7); boundary_quads: dict name -> (nq,4)
+        ccw corner-id quads on the boundary surfaces."""
+        self.dim = 3
+        self.dim_w = 3
+        self.dim_s = 6
+        self.ngl = int(ngl)
+        self.uniform = False
+        points = np.asarray(points, dtype=np.float64)
+        hexes = np.asarray(hexes_gmsh, dtype=np.int64)
+        # gmsh (v0..v7) -> lexicographic (x fastest, then y, then z)
+        self._corners_lex = hexes[:, [0, 1, 3, 2, 4, 5, 7, 6]]
+        self._corner_coords = points
+        self.n_cells = len(hexes)
+
+        c2n, n_nodes, edge_pairs, face_quads = hex_highorder_numbering(
+            self._corners_lex, len(points), self.ngl
+        )
+        self.cell2node = c2n.astype(np.int32)
+        self.n_nodes = n_nodes
+        self._edge_pairs = edge_pairs
+        self._face_quads = face_quads  # rows [anchor, u, v, diag]
+        self._boundary_quads = boundary_quads or {}
+
+    @classmethod
+    def from_gmsh(cls, path, ngl):
+        from pynama_tpu.mesh.gmsh import read_msh
+
+        data = read_msh(path)
+        if data.hexes is None or not len(data.hexes):
+            raise ValueError(f"{path} contains no hexahedra")
+        return cls(data.points, data.hexes, ngl,
+                   boundary_quads=data.boundary_quads)
+
+    # ------------------------------------------------------------------
+    @cached_property
+    def coords(self):
+        """(n_nodes, 3): corners, linear edges, bilinear faces, trilinear
+        interior — GLL points of the corner (trilinear) geometry map."""
+        N = self.ngl
+        gll, _ = lobatto_points(N)
+        t = (gll[1:-1] + 1.0) / 2.0  # interior edge parameters in (0,1)
+        nv = len(self._corner_coords)
+        ni = N - 2
+        ne = len(self._edge_pairs)
+        nf = len(self._face_quads)
+        out = np.empty((self.n_nodes, 3))
+        out[:nv] = self._corner_coords
+        if ni > 0 and ne:
+            lo = self._corner_coords[self._edge_pairs[:, 0]]
+            hi = self._corner_coords[self._edge_pairs[:, 1]]
+            edge_nodes = lo[:, None, :] + t[None, :, None] * (hi - lo)[:, None, :]
+            out[nv : nv + ne * ni] = edge_nodes.reshape(-1, 3)
+        if ni > 0 and nf:
+            # face interiors: bilinear in the canonical (u, v) frame,
+            # storage (j-1)*ni + (i-1) with i (u) fastest
+            A = self._corner_coords[self._face_quads[:, 0]]
+            U = self._corner_coords[self._face_quads[:, 1]]
+            V = self._corner_coords[self._face_quads[:, 2]]
+            D = self._corner_coords[self._face_quads[:, 3]]
+            ti, tj = np.meshgrid(t, t, indexing="xy")  # (ni, ni), i fastest
+            s = ti.reshape(-1)[None, :, None]
+            r = tj.reshape(-1)[None, :, None]
+            face_nodes = ((1 - s) * (1 - r) * A[:, None, :]
+                          + s * (1 - r) * U[:, None, :]
+                          + (1 - s) * r * V[:, None, :]
+                          + s * r * D[:, None, :])
+            f0 = nv + ne * ni
+            out[f0 : f0 + nf * ni * ni] = face_nodes.reshape(-1, 3)
+        if ni > 0:
+            # interior: trilinear at (tx, ty, tz), x fastest / z slowest
+            tx = np.tile(t, ni * ni)
+            ty = np.tile(np.repeat(t, ni), ni)
+            tz = np.repeat(t, ni * ni)
+            w = np.empty((8, ni**3))
+            for k in range(8):
+                bx, by, bz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+                w[k] = ((tx if bx else 1 - tx) * (ty if by else 1 - ty)
+                        * (tz if bz else 1 - tz))
+            c = self._corner_coords[self._corners_lex]  # (nc, 8, 3)
+            interior = np.einsum("kp,ckd->cpd", w, c)   # (nc, ni^3, 3)
+            i0 = nv + ne * ni + nf * ni * ni
+            out[i0:] = interior.reshape(-1, 3)
+        return out
+
+    @cached_property
+    def cell_corners(self):
+        return self._corner_coords[self._corners_lex]
+
+    # -- boundary topology -------------------------------------------------
+    @cached_property
+    def _edge_lookup(self):
+        return {
+            (int(lo), int(hi)): k
+            for k, (lo, hi) in enumerate(self._edge_pairs)
+        }
+
+    @cached_property
+    def _face_lookup(self):
+        return {
+            tuple(sorted(int(v) for v in row)): k
+            for k, row in enumerate(self._face_quads)
+        }
+
+    def _quad_nodes(self, quads):
+        """All GLL node ids on the given ccw corner-id boundary quads."""
+        N, ni = self.ngl, self.ngl - 2
+        nv = len(self._corner_coords)
+        f0 = nv + len(self._edge_pairs) * ni
+        nodes = set()
+        for q in quads:
+            q = [int(v) for v in q]
+            nodes.update(q)
+            for a, b in ((q[0], q[1]), (q[1], q[2]), (q[2], q[3]),
+                         (q[3], q[0])):
+                lo, hi = (a, b) if a < b else (b, a)
+                eid = self._edge_lookup.get((lo, hi))
+                if eid is not None:
+                    base = nv + eid * ni
+                    nodes.update(range(base, base + ni))
+            fid = self._face_lookup.get(tuple(sorted(q)))
+            if fid is not None and ni > 0:
+                base = f0 + fid * ni * ni
+                nodes.update(range(base, base + ni * ni))
+        return np.asarray(sorted(nodes), dtype=np.int32)
+
+    @cached_property
+    def face_nodes(self) -> Dict[str, np.ndarray]:
+        return {
+            name: self._quad_nodes(quads)
+            for name, quads in self._boundary_quads.items()
+        }
+
+    @cached_property
+    def boundary_nodes(self):
+        """All boundary nodes: faces referenced by exactly one cell.
+
+        Parity: markBoundaryFaces 'External Boundary' (dmplex.py:27-28).
+        """
+        counts = {}
+        reps = {}
+        # local faces as ccw corner cycles (orientation irrelevant here)
+        loc_faces = (
+            (0, 1, 3, 2), (4, 5, 7, 6),   # z = 0, 1
+            (0, 1, 5, 4), (2, 3, 7, 6),   # y = 0, 1
+            (0, 2, 6, 4), (1, 3, 7, 5),   # x = 0, 1
+        )
+        for cell in self._corners_lex:
+            for lf in loc_faces:
+                q = tuple(int(cell[k]) for k in lf)
+                key = tuple(sorted(q))
+                counts[key] = counts.get(key, 0) + 1
+                reps[key] = q
+        quads = [reps[k] for k, v in counts.items() if v == 1]
+        return self._quad_nodes(quads)
 
     # -- dof helpers (same layout as BoxMesh) ------------------------------
     def cell_dofs(self, k: int):

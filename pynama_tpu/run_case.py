@@ -43,6 +43,8 @@ CASE_CLASSES = {
     "ibm-static": ("pynama_tpu.cases.immersed", "ImmersedBoundaryProblem", {}),
     "ibm-dynamic": ("pynama_tpu.cases.immersed",
                     "ImmersedBoundaryDynamicProblem", {}),
+    # 3D hex channel (BASELINE benchmark config 5): uniform inflow
+    "channel3d": ("pynama_tpu.cases.uniform", "UniformFlowProblem", {}),
 }
 
 
@@ -78,7 +80,8 @@ def make_problem(case, config, **overrides):
 def time_solving(args, config):
     """Production run. Parity: timeSolving (run_case.py:152-162)."""
     p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
-                     dtype=args.dtype).setup()
+                     dtype=args.dtype,
+                     gmsh_file=getattr(args, "gmsh", None)).setup()
     save_dir = config.get("save-dir", f"run-{args.case}")
     save_every = int(config.get("save-n-steps", 1))
 
@@ -248,6 +251,10 @@ def main(argv=None):
     ap.add_argument("-log", default="INFO")
     ap.add_argument("-ngl", type=int, default=None)
     ap.add_argument("-nelem", type=int, nargs="+", default=None)
+    ap.add_argument("-gmsh", default=None, metavar="FILE",
+                    help="run the case on an unstructured Gmsh mesh "
+                         "(overrides the config's domain; parity: "
+                         "gmsh-file configs, dmplex.py:22-23)")
     ap.add_argument("-max-ngl", type=int, default=9)
     ap.add_argument("-resume", default=None, help="checkpoint to resume from")
     ap.add_argument("-dtype", default=None, choices=["float32", "float64"])

@@ -76,3 +76,33 @@ def test_sharded_cavity_matches_single():
     # CG reduction order differs across device counts; corner-singular
     # cavity amplifies the rounding slightly more than smooth TG
     assert err < 1e-8, err
+
+
+def test_sharded_channel3d_matches_single():
+    """3D slab decomposition (BASELINE benchmark config 5, shrunk):
+    uniform channel flow distributed over 4 devices matches single-device."""
+    from pynama_tpu.cases.uniform import UniformFlowProblem
+
+    cfg = {
+        "name": "ch3d",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {
+            "ngl": 3,
+            "box-mesh": {"nelem": [3, 3, 8], "lower": [0, 0, 0],
+                         "upper": [1, 1, 2.5]},
+        },
+        "time-solver": {"start-time": 0.0, "end-time": 0.01, "max-steps": 4},
+        "kle-rtol": 1e-10,
+        "multigrid": False,
+    }
+    p = UniformFlowProblem(cfg).setup()
+    w_ref, t_ref, n_ref = p.run()
+
+    p2 = UniformFlowProblem(cfg).setup()
+    sp = ShardedNSProblem(p2, 4)
+    w_loc, t, n = sp.run()
+    w_dist = sp.unshard(w_loc, p2.dim_w)
+
+    assert n == n_ref
+    err = np.linalg.norm(w_dist - np.asarray(w_ref))
+    assert err < 1e-9, err

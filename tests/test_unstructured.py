@@ -146,3 +146,221 @@ def test_gmsh_v22_parse_and_mesh(tmp_path):
     assert {0, 3} <= inlet
     # interior = the shared vertical edge's node + 2 cell centers
     assert len(m.boundary_nodes) == 12
+
+
+# ----------------------------------------------------------------------
+# 3D hexahedral meshes
+# ----------------------------------------------------------------------
+from pynama_tpu.mesh.native import hex_highorder_numbering  # noqa: E402
+from pynama_tpu.mesh.unstructured import UnstructuredHexMesh  # noqa: E402
+
+
+def box_hex_mesh(nx, ny, nz, distort=0.0, seed=0):
+    """Corner points + gmsh-ordered hexes of an nx x ny x nz unit box."""
+    xs = np.linspace(0, 1, nx + 1)
+    ys = np.linspace(0, 1, ny + 1)
+    zs = np.linspace(0, 1, nz + 1)
+    pts = np.array([[x, y, z] for z in zs for y in ys for x in xs])
+    if distort:
+        rng = np.random.default_rng(seed)
+        interior = np.all((pts > 0) & (pts < 1), axis=1)
+        pts[interior] += rng.uniform(-distort, distort, (interior.sum(), 3))
+    W, H = nx + 1, (nx + 1) * (ny + 1)
+    hexes = []
+    for ez in range(nz):
+        for ey in range(ny):
+            for ex in range(nx):
+                v0 = ez * H + ey * W + ex
+                hexes.append([v0, v0 + 1, v0 + 1 + W, v0 + W,
+                              v0 + H, v0 + 1 + H, v0 + 1 + W + H, v0 + W + H])
+    return pts, np.asarray(hexes, dtype=np.int64)
+
+
+def test_native_matches_python_hex_numbering():
+    pts, hexes = box_hex_mesh(3, 2, 4)
+    lex = hexes[:, [0, 1, 3, 2, 4, 5, 7, 6]]
+    c1, n1, p1, q1 = hex_highorder_numbering(lex, len(pts), 4,
+                                             force_python=True)
+    if not have_native():
+        pytest.skip("native meshcore not built")
+    c2, n2, p2, q2 = hex_highorder_numbering(lex, len(pts), 4,
+                                             force_python=False)
+    assert n1 == n2
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(q1, q2)
+
+
+@pytest.mark.parametrize("ngl", [2, 3, 4])
+def test_hex_matches_structured(ngl):
+    pts, hexes = box_hex_mesh(3, 2, 2)
+    m = UnstructuredHexMesh(pts, hexes, ngl=ngl)
+    b = BoxMesh(nelem=(3, 2, 2), lower=(0, 0, 0), upper=(1, 1, 1), ngl=ngl)
+    assert m.n_nodes == b.n_nodes
+    assert m.n_cells == b.n_cells
+    assert len(m.boundary_nodes) == len(b.boundary_nodes)
+    # same GLL point cloud as the structured mesh (set comparison)
+    ca = np.sort(np.round(m.coords, 12).view("f8,f8,f8"), axis=0)
+    cb = np.sort(np.round(np.asarray(b.coords), 12).view("f8,f8,f8"), axis=0)
+    np.testing.assert_array_equal(ca, cb)
+
+
+def test_hex_cell_geometry_consistency():
+    """coords[cell2node] must equal each cell's own trilinear GLL map —
+    catches shared-face/edge orientation mistakes on distorted meshes."""
+    from pynama_tpu.elements.quadrature import lobatto_points
+
+    ngl = 4
+    pts, hexes = box_hex_mesh(3, 3, 2, distort=0.05)
+    m = UnstructuredHexMesh(pts, hexes, ngl=ngl)
+    gll, _ = lobatto_points(ngl)
+    t = (gll + 1) / 2
+    N = ngl
+    tx = np.tile(t, N * N)
+    ty = np.tile(np.repeat(t, N), N)
+    tz = np.repeat(t, N * N)
+    w = np.empty((8, N**3))
+    for k in range(8):
+        bx, by, bz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+        w[k] = ((tx if bx else 1 - tx) * (ty if by else 1 - ty)
+                * (tz if bz else 1 - tz))
+    expected = np.einsum("kp,ckd->cpd", w, m.cell_corners)
+    np.testing.assert_allclose(m.coords[m.cell2node], expected, atol=1e-13)
+
+
+def test_hex_patch_test_distorted():
+    """Constant velocity is exact on any (trilinear) hex mesh."""
+    ngl = 3
+    pts, hexes = box_hex_mesh(3, 3, 2, distort=0.04)
+    m = UnstructuredHexMesh(pts, hexes, ngl=ngl)
+    elem = SpectralElement(ngl, 3)
+    sys_ = build_kle_system(m, elem)
+    assert not m.uniform and sys_.K.A.ndim == 3
+    mask = np.ones(m.n_nodes * 3)
+    mask[m.node_dofs(m.boundary_nodes, 3)] = 0.0
+    u_bc = np.zeros(m.n_nodes * 3)
+    u_bc[0::3] = 1.0
+    u_bc[1::3] = -0.5
+    res = sys_.solve(jnp.zeros(m.n_nodes * 3), jnp.asarray(u_bc),
+                     jnp.asarray(mask), rtol=1e-13, maxiter=20000)
+    exact = np.asarray(u_bc)
+    err = np.abs(np.asarray(res.x) - exact).max()
+    assert err < 1e-9, err
+
+
+def test_tg3d_converges_on_distorted_hex():
+    from pynama_tpu.cases.analytic_fields import (
+        taylor_green_vel_3d,
+        taylor_green_vort_3d,
+    )
+
+    errs = []
+    for ngl in (3, 5):
+        pts, hexes = box_hex_mesh(2, 2, 2, distort=0.02)
+        m = UnstructuredHexMesh(pts, hexes, ngl=ngl)
+        elem = SpectralElement(ngl, 3)
+        sys_ = build_kle_system(m, elem)
+        mask = np.ones(m.n_nodes * 3)
+        mask[m.node_dofs(m.boundary_nodes, 3)] = 0.0
+        vel_e = np.asarray(taylor_green_vel_3d(jnp.asarray(m.coords), 0.02,
+                                               0.0)).reshape(-1)
+        vort_e = np.asarray(taylor_green_vort_3d(jnp.asarray(m.coords), 0.02,
+                                                 0.0)).reshape(-1)
+        res = sys_.solve(jnp.asarray(vort_e), jnp.asarray(vel_e),
+                         jnp.asarray(mask), rtol=1e-12, maxiter=30000)
+        errs.append(np.linalg.norm(np.asarray(res.x) - vel_e)
+                    / np.linalg.norm(vel_e))
+    # measured: 1.1e-1 (ngl 3) -> 2.7e-3 (ngl 5) — spectral p-convergence
+    assert errs[1] < 0.05 * errs[0], errs
+
+
+def _write_hex_msh(path, nx, ny, nz, distort=0.0):
+    """Gmsh v2.2 hex mesh of the unit box with named boundary quads."""
+    pts, hexes = box_hex_mesh(nx, ny, nz, distort=distort)
+    W, H = nx + 1, (nx + 1) * (ny + 1)
+    walls = []  # (name_tag, quad corners) on x=0 plane as sample surface
+    for ez in range(nz):
+        for ey in range(ny):
+            v0 = ez * H + ey * W
+            walls.append([v0, v0 + W, v0 + W + H, v0 + H])
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write('$PhysicalNames\n2\n2 10 "left"\n3 20 "fluid"\n'
+                "$EndPhysicalNames\n")
+        f.write(f"$Nodes\n{len(pts)}\n")
+        for i, p in enumerate(pts):
+            f.write(f"{i+1} {p[0]:.17g} {p[1]:.17g} {p[2]:.17g}\n")
+        f.write("$EndNodes\n")
+        ne = len(hexes) + len(walls)
+        f.write(f"$Elements\n{ne}\n")
+        eid = 1
+        for h in hexes:
+            f.write(f"{eid} 5 2 20 1 " + " ".join(str(v + 1) for v in h)
+                    + "\n")
+            eid += 1
+        for q in walls:
+            f.write(f"{eid} 3 2 10 2 " + " ".join(str(v + 1) for v in q)
+                    + "\n")
+            eid += 1
+        f.write("$EndElements\n")
+
+
+def test_gmsh_hex_case_transient(tmp_path):
+    """Full NS transient through the case layer on a distorted Gmsh hex
+    mesh — exercises the generic ElementOp path end to end (cf. the
+    reference running any Gmsh mesh through DMPlex, dmplex.py:16-23)."""
+    from pynama_tpu.cases.analytic import CustomFuncProblem
+
+    msh = tmp_path / "tg3d.msh"
+    _write_hex_msh(str(msh), 3, 3, 3, distort=0.03)
+    cfg = {
+        "name": "tg3d-gmsh",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {"ngl": 4, "gmsh-file": str(msh)},
+        "time-solver": {"start-time": 0.0, "end-time": 0.02, "max-steps": 20},
+        "kle-rtol": 1e-11,
+    }
+    p = CustomFuncProblem(cfg, case="taylor-green").setup()
+    assert p.dim == 3 and not p._blocked
+    assert "left" in p.mesh.face_nodes and len(p.mesh.face_nodes["left"])
+    w, t, n = p.run()
+    vel_e, _ = p.exact_fields(t)
+    ev = np.linalg.norm(np.asarray(p.vel) - np.asarray(vel_e).reshape(-1)) \
+        / np.linalg.norm(np.asarray(vel_e))
+    assert abs(t - 0.02) < 1e-12
+    assert ev < 0.05, ev
+
+
+def test_gmsh_quad_case_transient(tmp_path):
+    """2D NS transient on a distorted unstructured quad mesh through the
+    case layer (generic assembly path, not the structured fast lane)."""
+    from pynama_tpu.cases.analytic import CustomFuncProblem
+
+    pts, quads = box_corner_mesh(4, 4, distort=0.03)
+    msh = tmp_path / "tg2d.msh"
+    with open(msh, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write(f"$Nodes\n{len(pts)}\n")
+        for i, p in enumerate(pts):
+            f.write(f"{i+1} {p[0]:.17g} {p[1]:.17g} 0\n")
+        f.write("$EndNodes\n")
+        f.write(f"$Elements\n{len(quads)}\n")
+        for i, q in enumerate(quads):
+            f.write(f"{i+1} 3 2 1 1 " + " ".join(str(v + 1) for v in q)
+                    + "\n")
+        f.write("$EndElements\n")
+    cfg = {
+        "name": "tg2d-gmsh",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {"ngl": 4, "gmsh-file": str(msh)},
+        "time-solver": {"start-time": 0.0, "end-time": 0.05, "max-steps": 30},
+        "kle-rtol": 1e-11,
+    }
+    p = CustomFuncProblem(cfg, case="taylor-green").setup()
+    assert p.dim == 2 and not p._blocked
+    w, t, n = p.run()
+    vel_e, _ = p.exact_fields(t)
+    ev = np.linalg.norm(np.asarray(p.vel) - np.asarray(vel_e).reshape(-1)) \
+        / np.linalg.norm(np.asarray(vel_e))
+    assert abs(t - 0.05) < 1e-12
+    assert ev < 0.02, ev

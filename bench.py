@@ -181,7 +181,10 @@ def bench_ours():
     from pynama_tpu.solvers.rk import make_bs5_host_stepper
 
     dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
-    p = CavityProblem(cavity_config(), dtype=dtype).setup()
+    cfg = cavity_config()
+    if os.environ.get("BENCH_NO_MG") == "1":  # Jacobi-CG, comparable to
+        cfg["multigrid"] = False              # the sharded path's solver
+    p = CavityProblem(cfg, dtype=dtype).setup()
     n_dofs = p.mesh.n_nodes * p.dim
 
     def rhs(t, w, vel_ws):
@@ -214,6 +217,60 @@ def bench_ours():
     jax.block_until_ready(w)
     elapsed = time.perf_counter() - t0
     return elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform
+
+
+def bench_sharded(n_dev):
+    """Per-step time of the DISTRIBUTED path on the real device(s).
+
+    Runs the shard_map slab decomposition (halo exchange + psum
+    collectives) with host-staged BS5 stepping — a 1-device mesh
+    quantifies the distributed path's overhead vs the single-chip bench
+    (target: within ~1.3x); more devices measure real scaling.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PYNAMA_JAX_CACHE",
+                                     "/tmp/pynama-jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.parallel.sharded_problem import ShardedNSProblem
+    from pynama_tpu.solvers.rk import make_bs5_host_stepper
+
+    dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
+    p = CavityProblem({**cavity_config(), "multigrid": False},
+                      dtype=dtype).setup()
+    n_dofs = p.mesh.n_nodes * p.dim
+    sp = ShardedNSProblem(p, n_dev)
+    rhs_fn = sp.build_rhs(kle_rtol=KLE_RTOL, kle_maxiter=p.kle_maxiter)
+
+    def rhs(t, w, aux):
+        f, vel = rhs_fn(w, aux, t)
+        return f, vel
+
+    step = make_bs5_host_stepper(rhs, atol=1e12, rtol=1e12)
+    w = sp.shard(np.zeros(p.mesh.n_nodes * p.dim_w), p.dim_w)
+    vel = sp.shard(np.zeros(n_dofs), p.dim)
+    t = jnp.asarray(0.0, dtype=dtype)
+    dt = jnp.asarray(1e-3, dtype=dtype)
+    t_end = jnp.asarray(1e9, dtype=dtype)
+    f1, vel = rhs(t, w, vel)
+    jax.block_until_ready((f1, vel))
+
+    res = step(w, t, dt, vel, f1, t_end)  # warmup/compile
+    jax.block_until_ready(res.y)
+    w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        res = step(w, t, dt, vel, f1, t_end)
+        w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+    jax.block_until_ready(w)
+    ms = (time.perf_counter() - t0) / STEPS * 1e3
+    print(f"sharded[{n_dev} dev] {n_dofs} dofs: {ms:.1f} ms/step "
+          f"(Jacobi-CG, no MG)", file=sys.stderr)
+    return ms, n_dofs
 
 
 def bench_baseline():
@@ -308,6 +365,13 @@ def bench_baseline():
 
 
 def main():
+    # sitecustomize pins the axon TPU plugin before env is consulted;
+    # honor JAX_PLATFORMS explicitly (cf. run_case.py main)
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     if "--profile" in sys.argv or os.environ.get("BENCH_PROFILE") == "1":
         profile()
         return
@@ -315,6 +379,22 @@ def main():
         # subprocess mode: measure the scipy-LU baseline on CPU, print ms
         print(json.dumps({"baseline_ms": bench_baseline()}))
         return
+    if "--sharded" in sys.argv or os.environ.get("BENCH_SHARDED"):
+        n_dev = int(os.environ.get("BENCH_SHARDED", "1"))
+        ms, n_dofs = bench_sharded(n_dev)
+        print(json.dumps({"metric": f"sharded_{n_dev}dev_ms_per_step",
+                          "value": round(ms, 3), "unit": "ms",
+                          "n_dofs": n_dofs}))
+        return
+
+    # phase breakdown (stderr) ahead of the north-star number, so every
+    # recorded bench comes with per-op times + CG iteration counts
+    if os.environ.get("BENCH_NO_PROFILE") != "1":
+        try:
+            profile()
+        except Exception as e:  # pragma: no cover - keep the metric alive
+            print(f"profile phase skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
 
     # the axon TPU worker occasionally needs a restart after a prior
     # kernel fault; one retry covers the flake

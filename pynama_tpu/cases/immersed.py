@@ -46,9 +46,25 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
 
     def setup(self):
         super().setup()
-        # fine-grid spacing h (parity: immersed_boundary.py:48-58)
-        height = self.upper[1] - self.lower[0]
-        self.h = (height / self.nelem[0]) / (self.ngl - 1)
+        # fine-grid spacing h (parity: immersed_boundary.py:48-58; the
+        # reference's box formula (upper[1]-lower[0])/nelem[0] is only
+        # right for square symmetric boxes — use the true min spacing)
+        if self.gmsh_file:
+            hmin = self.config["domain"].get("h-min")
+            if hmin is None:
+                raise ValueError(
+                    "IBM on a gmsh-file domain needs 'h-min' "
+                    "(parity: immersed_boundary.py:55-56)"
+                )
+            from pynama_tpu.cases.base import _eval_scalar
+
+            self.h = _eval_scalar(hmin) / (self.ngl - 1)
+        else:
+            spacing = min(
+                (self.upper[i] - self.lower[i]) / self.nelem[i]
+                for i in range(self.dim)
+            )
+            self.h = spacing / (self.ngl - 1)
         bodies_cfg = self.config.get("bodies")
         if not bodies_cfg:
             raise ValueError("IBM case needs a 'bodies' config section")

@@ -46,6 +46,12 @@ class IBMCoupling:
 
     def __post_init__(self):
         m = self.mesh
+        if not hasattr(m, "axis_coords"):
+            raise NotImplementedError(
+                "IBM coupling needs a structured box mesh (fixed-window "
+                "gather/scatter on a uniform fine grid); unstructured "
+                "gmsh domains are not supported for IBM"
+            )
         if m.dim != 2:
             raise NotImplementedError("IBM coupling is 2D (like the reference)")
         ax = m.axis_coords

@@ -340,7 +340,16 @@ class ShardedNSProblem:
                 callback(n, float(t), float(dt), w, vel)
         return w, float(t), n
 
-    def _eval_rhs_once(self, w, t, vel):
+    def build_rhs(self, kle_rtol=None, kle_maxiter=None):
+        """jitted distributed transport RHS: (w, vel_ws, t) -> (f, vel).
+
+        The building block for host-staged stepping at scales where the
+        fully-inlined build_step() program is too large to compile — the
+        same split bench.py uses single-chip.
+        """
+        p = self.p
+        kle_rtol = kle_rtol if kle_rtol is not None else p.kle_rtol
+        kle_maxiter = kle_maxiter if kle_maxiter is not None else p.kle_maxiter
         transport_rhs = self._local_fns()
         from jax import shard_map
 
@@ -361,9 +370,9 @@ class ShardedNSProblem:
             def pdot(a, b):
                 return jax.lax.psum(jnp.sum(a * b * ov), AXIS)
 
-            f, _ = transport_rhs(loc, t, sq(w), sq(vel), pdot,
-                                 self.p.kle_rtol, self.p.kle_maxiter)
-            return f[None]
+            f, v = transport_rhs(loc, t, sq(w), sq(vel), pdot,
+                                 kle_rtol, kle_maxiter)
+            return f[None], v[None]
 
         statics = (self.diag_K, self.mask,
                    self.mask_fs if has_fs else self.mask,
@@ -373,6 +382,15 @@ class ShardedNSProblem:
         fn = shard_map(
             body, mesh=self.mesh_dev,
             in_specs=tuple([spec_d] * 10 + [spec_d, spec_d, P()]),
-            out_specs=spec_d, check_vma=False,
+            out_specs=(spec_d, spec_d), check_vma=False,
         )
-        return jax.jit(fn)(*statics, self.own_v, w, vel, t)
+
+        @jax.jit
+        def rhs(w, vel, t):
+            return fn(*statics, self.own_v, w, vel, t)
+
+        return rhs
+
+    def _eval_rhs_once(self, w, t, vel):
+        f, _ = self.build_rhs()(w, vel, t)
+        return f

@@ -46,7 +46,12 @@ BASELINE_CACHE = os.path.join(REPO, "bench_baseline.json")
 
 
 def cavity_config():
+    mg = True
+    if os.environ.get("BENCH_MG_PRE") or os.environ.get("BENCH_MG_POST"):
+        mg = {"pre": int(os.environ.get("BENCH_MG_PRE", "3")),
+              "post": int(os.environ.get("BENCH_MG_POST", "3"))}
     return {
+        "multigrid": mg,
         "name": "cavity-bench",
         "material-properties": {"rho": 1.0, "mu": 0.01},
         "domain": {

@@ -256,7 +256,13 @@ class BaseProblem:
             return
         from pynama_tpu.solvers.multigrid import MGPreconditioner
 
-        mg = MGPreconditioner(self.mesh, self.elem, dtype=self.dtype)
+        mgc = self.config.get("multigrid", True)
+        opts = mgc if isinstance(mgc, dict) else {}
+        mg = MGPreconditioner(
+            self.mesh, self.elem, dtype=self.dtype,
+            pre_smooth=int(opts.get("pre", 3)),
+            post_smooth=int(opts.get("post", 3)),
+        )
         if not mg.usable:
             logger.warning(
                 "%s: no multigrid hierarchy for nelem=%s (needs axes "

@@ -106,3 +106,44 @@ def test_sharded_channel3d_matches_single():
     assert n == n_ref
     err = np.linalg.norm(w_dist - np.asarray(w_ref))
     assert err < 1e-9, err
+
+
+def test_unstructured_distributed_matches_single(tmp_path):
+    """Element-partitioned data parallelism on a distorted Gmsh quad mesh
+    (replicated state + psum-reduced applies) matches single-device — the
+    general-mesh analogue of the reference's DMPlex distribute()."""
+    from pynama_tpu.cases.analytic import CustomFuncProblem
+    from pynama_tpu.parallel.unstructured import ShardedUnstructuredProblem
+    from tests.test_unstructured import box_corner_mesh
+
+    pts, quads = box_corner_mesh(4, 4, distort=0.03)
+    msh = tmp_path / "tg2d.msh"
+    with open(msh, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write(f"$Nodes\n{len(pts)}\n")
+        for i, p in enumerate(pts):
+            f.write(f"{i+1} {p[0]:.17g} {p[1]:.17g} 0\n")
+        f.write("$EndNodes\n")
+        f.write(f"$Elements\n{len(quads)}\n")
+        for i, q in enumerate(quads):
+            f.write(f"{i+1} 3 2 1 1 " + " ".join(str(v + 1) for v in q)
+                    + "\n")
+        f.write("$EndElements\n")
+    cfg = {
+        "name": "tg2d-dist",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {"ngl": 4, "gmsh-file": str(msh)},
+        "time-solver": {"start-time": 0.0, "end-time": 0.05, "max-steps": 30},
+        "kle-rtol": 1e-11,
+    }
+    p = CustomFuncProblem(cfg, case="taylor-green").setup()
+    w_ref, t_ref, n_ref = p.run()
+
+    p2 = CustomFuncProblem(cfg, case="taylor-green").setup()
+    sp = ShardedUnstructuredProblem(p2, 4)  # 16 cells over 4 devices
+    w, t, n = sp.run()
+    err = np.linalg.norm(np.asarray(w) - np.asarray(w_ref).reshape(-1)) \
+        / np.linalg.norm(np.asarray(w_ref))
+    assert n == n_ref
+    assert abs(t - t_ref) < 1e-14
+    assert err < 1e-10, err

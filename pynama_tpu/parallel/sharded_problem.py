@@ -1,20 +1,23 @@
 """Distributed Navier-Stokes stepping: the full KLE + transport + BS5(4)
-machinery under shard_map on a 1D device mesh.
+machinery under shard_map on a 1-D or N-D device mesh.
 
 This is the TPU equivalent of running the reference under `mpirun -n P`
-(/root/reference/makefile:2-7): the mesh is slab-partitioned
-(SlabDecomposition), all elemental operator applies are device-local with
-one-plane halo exchange over ICI, CG dot products and RK error norms are
-psum-reduced, and one adaptive time step compiles to a single SPMD XLA
-program.
+(/root/reference/makefile:2-7): the box mesh is partitioned into slabs
+(n_dev int) or N-D pencils (n_dev tuple, e.g. (2, 4) over the two
+slowest grid axes), all elemental operator applies are device-local with
+one-plane halo exchange per partitioned axis over ICI, CG dot products
+and RK error norms are psum-reduced over the whole device mesh, and one
+adaptive time step compiles to a single SPMD XLA program.
 
-Each device's slab is itself a box grid, so the local apply is the SAME
-parity-blocked MXU convolution the single-chip path uses
+Each device's subdomain is itself a box grid, so the local apply is the
+SAME parity-blocked MXU convolution the single-chip path uses
 (pynama_tpu/ops/conv.py): the conv's phantom-cell boundary corrections
 make the local apply exactly the sum over local elements, and the
-interface planes' partial sums are completed by the halo exchange. Solver
-state lives in the blocked layout end to end (grid layout under
-PYNAMA_NO_CONV=1, where the slice/stack apply is used instead).
+interface planes' partial sums are completed by sequential per-axis halo
+exchanges (the second axis' exchange carries the first's corner
+contributions). Solver state lives in the blocked layout end to end
+(grid layout under PYNAMA_NO_CONV=1, where the slice/stack apply is
+used instead).
 
 Works for both the single-mask FreeSlip problems and the dual-mask
 no-slip/free-slip cavity solve.
@@ -30,38 +33,44 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from pynama_tpu.kle import v_tens_v
 from pynama_tpu.ops.structured import StructuredElementOp, _use_conv
 from pynama_tpu.parallel.slab import (
-    AXIS,
-    SlabDecomposition,
-    halo_sum_blocked,
-    halo_sum_grid,
+    GridDecomposition,
+    halo_sum_blocked_axis,
+    halo_sum_grid_axis,
 )
 from pynama_tpu.solvers.cg import cg_solve
 from pynama_tpu.solvers.rk import make_bs5_stepper
 
 
 class ShardedNSProblem:
-    """Slab-distributed wrapper around a set-up BaseProblem subclass."""
+    """Slab/pencil-distributed wrapper around a set-up BaseProblem.
 
-    def __init__(self, problem, n_dev: int, devices=None):
+    n_dev: int n for an n-slab over the last mesh axis, or a tuple
+    (p0, p1, ...) partitioning the slowest grid axes over an N-D device
+    mesh (p0 slices grid axis 0 = the last mesh axis, p1 the next, ...).
+    """
+
+    def __init__(self, problem, n_dev, devices=None):
         self.p = problem
-        self.slab = SlabDecomposition(problem.mesh, n_dev)
-        self.n_dev = n_dev
+        pgrid = (n_dev,) if isinstance(n_dev, (int, np.integer)) \
+            else tuple(int(x) for x in n_dev)
+        self.pgrid = pgrid
+        self.naxes = len(pgrid)
+        self.n_dev = int(np.prod(pgrid))
+        self.slab = GridDecomposition(problem.mesh, pgrid)
         sl = self.slab
+        self.axis_names = sl.axis_names
         m = problem.mesh
         dim, dim_w, dim_s = m.dim, m.dim_w, m.dim_s
         dt = problem.dtype
         N = m.ngl
-        Pm1 = N - 1
         self.blocked = _use_conv()
 
-        # local ops: same elemental matrices, slab-local box shape
-        nelem_loc = tuple(m.nelem[:-1]) + (sl.ne_loc,)
-        npts_loc = sl.local_npts
+        # local ops: same elemental matrices, subdomain-local box shape
         sysm, ops = problem.system, problem.operators
 
         def lop(op, k_in, k_out):
-            return StructuredElementOp(op.A, N, nelem_loc, npts_loc,
-                                       k_in, k_out)
+            return StructuredElementOp(op.A, N, sl.local_nelem,
+                                       sl.local_npts, k_in, k_out)
 
         self.K_op = lop(sysm.K, dim, dim)
         self.Rw_op = lop(sysm.Rw, dim_w, dim)
@@ -74,21 +83,26 @@ class ShardedNSProblem:
                        self.Div_op):
                 op._kernels()
 
-        # interface-plane channel count per dof family (blocked layout)
-        self.plane_c = {k: Pm1 ** (m.dim - 1) * k for k in (dim, dim_w, dim_s)}
-
         def arr(x):
             return jnp.asarray(x, dtype=dt)
 
-        def to_solver(x_global, k):
-            """flat global -> (P, *solver-layout) stacked, host-side."""
-            g = sl.to_local_grid(x_global, k)
-            if not self.blocked:
-                return g
+        def blocked_stack(g):
+            """Per-device blocked conversion of (pgrid..., grid...)."""
             from pynama_tpu.ops.conv import to_blocked
 
-            return np.stack([np.asarray(to_blocked(jnp.asarray(g[d]), N))
-                             for d in range(n_dev)])
+            out = None
+            for didx in np.ndindex(*self.pgrid):
+                b = np.asarray(to_blocked(jnp.asarray(g[didx]), N))
+                if out is None:
+                    out = np.empty(tuple(self.pgrid) + b.shape,
+                                   dtype=b.dtype)
+                out[didx] = b
+            return out
+
+        def to_solver(x_global, k):
+            """flat global -> (pgrid..., *solver-layout) stacked, host."""
+            g = sl.to_local_grid(x_global, k)
+            return blocked_stack(g) if self.blocked else g
 
         def weight_solver(w_global, k):
             """Division weights in solver layout, pad slots = 1."""
@@ -97,10 +111,11 @@ class ShardedNSProblem:
                 from pynama_tpu.ops.conv import pad_mask
 
                 pm = pad_mask(N, tuple(sl.local_grid_shape(k)[:-1]), k)
-                w = w + (1.0 - pm)[None]
+                w = w + (1.0 - pm)[(None,) * self.naxes]
             return w
 
         self._to_solver = to_solver
+        self._blocked_stack = blocked_stack
 
         self.diag_K = arr(to_solver(sysm.diag_K, dim))
         self.w_curl = arr(weight_solver(ops.w_curl, dim_w))
@@ -131,22 +146,15 @@ class ShardedNSProblem:
                              if bcw is not None else None)
 
         self.mesh_dev = sl.device_mesh(devices)
-        self.sharding = NamedSharding(self.mesh_dev, P(AXIS))
+        self.sharding = NamedSharding(self.mesh_dev, P(*self.axis_names))
         self.repl = NamedSharding(self.mesh_dev, P())
         self.n_vel_global = m.n_nodes * dim
         self.n_vort_global = m.n_nodes * dim_w
 
     def _owned(self, k):
         """Owned-dof weights in solver layout (pad slots 0)."""
-        sl, n_dev = self.slab, self.n_dev
-        w = sl.owned_grid_weights(k)
-        if not self.blocked:
-            return w
-        from pynama_tpu.ops.conv import to_blocked
-
-        N = self.p.mesh.ngl
-        return np.stack([np.asarray(to_blocked(jnp.asarray(w[d]), N))
-                         for d in range(n_dev)])
+        w = self.slab.owned_grid_weights(k)
+        return self._blocked_stack(w) if self.blocked else w
 
     # ------------------------------------------------------------------
     def shard(self, x_global, k):
@@ -162,20 +170,30 @@ class ShardedNSProblem:
 
             N = self.p.mesh.ngl
             npg = tuple(self.slab.local_grid_shape(k)[:-1])
-            xs = np.stack([
-                np.asarray(from_blocked(jnp.asarray(xs[d]), N, npg))
-                for d in range(self.n_dev)
-            ])
+            out = np.empty(tuple(self.pgrid) + npg + (k,))
+            for didx in np.ndindex(*self.pgrid):
+                out[didx] = np.asarray(
+                    from_blocked(jnp.asarray(xs[didx]), N, npg))
+            xs = out
         return self.slab.from_local_grid(xs)
 
     # ------------------------------------------------------------------
+    def _halo(self, y):
+        Pm1 = self.p.mesh.ngl - 1
+        dim = self.p.mesh.dim
+        for j in range(self.naxes):
+            if self.blocked:
+                y = halo_sum_blocked_axis(y, Pm1, dim, j,
+                                          self.axis_names[j], self.pgrid[j])
+            else:
+                y = halo_sum_grid_axis(y, j, self.axis_names[j],
+                                       self.pgrid[j])
+        return y
+
     def _apply(self, op, x, k_out):
         """Local element apply + halo completion, in the solver layout."""
-        nd = self.n_dev
-        if self.blocked:
-            y = op.apply_blocked(x)
-            return halo_sum_blocked(y, self.plane_c[k_out], nd)
-        return halo_sum_grid(op(x), nd)
+        y = op.apply_blocked(x) if self.blocked else op(x)
+        return self._halo(y)
 
     def _grid_to_solver(self, g, k):
         """Inside-shard conversion of a freshly built local grid array."""
@@ -187,7 +205,7 @@ class ShardedNSProblem:
 
     def _local_fns(self):
         """Build the inside-shard_map physics, closing over replicated data."""
-        p, nd = self.p, self.n_dev
+        p = self.p
         dim, dim_w, dim_s = p.dim, p.dim_w, p.dim_s
         mu, rho = p.mu, p.rho
         K_op, Rw_op = self.K_op, self.Rw_op
@@ -244,6 +262,12 @@ class ShardedNSProblem:
         return transport_rhs
 
     # ------------------------------------------------------------------
+    def _sq(self, x):
+        return x[(0,) * self.naxes]
+
+    def _ex(self, x):
+        return jnp.expand_dims(x, tuple(range(self.naxes)))
+
     def build_step(self, kle_rtol=None, kle_maxiter=None, atol=None, rtol=None):
         """jit-compiled distributed adaptive step: (w, t, dt, vel, f1) -> ...
 
@@ -261,15 +285,16 @@ class ShardedNSProblem:
 
         from jax import shard_map
 
-        spec_d = P(AXIS)
+        names = self.axis_names
+        spec_d = P(*names)
         spec_r = P()
         has_fs = self.mask_fs is not None
         has_ubc = self.u_bc is not None
         has_bcw = self.bc_vort_mask is not None
+        sq, ex = self._sq, self._ex
 
         def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
                  own_v, own_w, w, t, dt, vel, f1, t_end):
-            sq = lambda x: x[0]
             loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
                    sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
@@ -278,7 +303,7 @@ class ShardedNSProblem:
             ow = sq(own_w)
 
             def pdot(a, b):
-                return jax.lax.psum(jnp.sum(a * b * ov), AXIS)
+                return jax.lax.psum(jnp.sum(a * b * ov), names)
 
             def rhs(tt, ww, aux):
                 return transport_rhs(loc, tt, ww, aux, pdot, kle_rtol,
@@ -287,14 +312,14 @@ class ShardedNSProblem:
             def wlte_norm(err, y_old, y_new, a, r):
                 wgt = a + r * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
                 e = err / wgt
-                s = jax.lax.psum(jnp.sum(e * e * ow), AXIS)
+                s = jax.lax.psum(jnp.sum(e * e * ow), names)
                 return jnp.sqrt(s / n_glob_w)
 
             step_fn = make_bs5_stepper(rhs, atol=atol, rtol=rtol,
                                        wlte_norm=wlte_norm)
             res = step_fn(sq(w), t, dt, sq(vel), sq(f1), t_end)
-            return (res.y[None], res.t, res.dt_next, res.aux[None],
-                    res.f_new[None], res.wlte)
+            return (ex(res.y), res.t, res.dt_next, ex(res.aux),
+                    ex(res.f_new), res.wlte)
 
         in_specs = tuple([spec_d] * 11 + [spec_d, spec_r, spec_r, spec_d,
                                           spec_d, spec_r])
@@ -318,28 +343,6 @@ class ShardedNSProblem:
         return step
 
     # ------------------------------------------------------------------
-    def run(self, max_steps=None, callback=None):
-        """Distributed transient run (host loop over jitted SPMD steps)."""
-        p = self.p
-        step = self.build_step()
-        w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
-        vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
-        t = jnp.asarray(p.t_start, dtype=p.dtype)
-        dt = jnp.asarray(p.dt0, dtype=p.dtype)
-        t_end = jnp.asarray(p.t_end, dtype=p.dtype)
-
-        # initial FSAL derivative: one distributed rhs eval
-        f1 = self._eval_rhs_once(w, t, vel)
-
-        n = 0
-        steps = max_steps if max_steps is not None else p.max_steps
-        while float(t) < float(t_end) - 1e-14 and n < steps:
-            w, t, dt, vel, f1, wlte = step(w, t, dt, vel, f1, t_end)
-            n += 1
-            if callback is not None:
-                callback(n, float(t), float(dt), w, vel)
-        return w, float(t), n
-
     def build_rhs(self, kle_rtol=None, kle_maxiter=None):
         """jitted distributed transport RHS: (w, vel_ws, t) -> (f, vel).
 
@@ -353,14 +356,15 @@ class ShardedNSProblem:
         transport_rhs = self._local_fns()
         from jax import shard_map
 
-        spec_d = P(AXIS)
+        names = self.axis_names
+        spec_d = P(*names)
         has_fs = self.mask_fs is not None
         has_ubc = self.u_bc is not None
         has_bcw = self.bc_vort_mask is not None
+        sq, ex = self._sq, self._ex
 
         def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
                  own_v, w, vel, t):
-            sq = lambda x: x[0]
             loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
                    sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
@@ -368,11 +372,11 @@ class ShardedNSProblem:
             ov = sq(own_v)
 
             def pdot(a, b):
-                return jax.lax.psum(jnp.sum(a * b * ov), AXIS)
+                return jax.lax.psum(jnp.sum(a * b * ov), names)
 
             f, v = transport_rhs(loc, t, sq(w), sq(vel), pdot,
                                  kle_rtol, kle_maxiter)
-            return f[None], v[None]
+            return ex(f), ex(v)
 
         statics = (self.diag_K, self.mask,
                    self.mask_fs if has_fs else self.mask,
@@ -394,3 +398,26 @@ class ShardedNSProblem:
     def _eval_rhs_once(self, w, t, vel):
         f, _ = self.build_rhs()(w, vel, t)
         return f
+
+    # ------------------------------------------------------------------
+    def run(self, max_steps=None, callback=None):
+        """Distributed transient run (host loop over jitted SPMD steps)."""
+        p = self.p
+        step = self.build_step()
+        w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
+        vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
+        t = jnp.asarray(p.t_start, dtype=p.dtype)
+        dt = jnp.asarray(p.dt0, dtype=p.dtype)
+        t_end = jnp.asarray(p.t_end, dtype=p.dtype)
+
+        # initial FSAL derivative: one distributed rhs eval
+        f1 = self._eval_rhs_once(w, t, vel)
+
+        n = 0
+        steps = max_steps if max_steps is not None else p.max_steps
+        while float(t) < float(t_end) - 1e-14 and n < steps:
+            w, t, dt, vel, f1, wlte = step(w, t, dt, vel, f1, t_end)
+            n += 1
+            if callback is not None:
+                callback(n, float(t), float(dt), w, vel)
+        return w, float(t), n

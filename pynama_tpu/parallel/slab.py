@@ -137,6 +137,111 @@ class SlabDecomposition:
         return NamedSharding(mesh, P(AXIS))
 
 
+@dataclass
+class GridDecomposition:
+    """N-D pencil partition of a BoxMesh over a device grid.
+
+    pgrid[j] devices partition GRID axis j (slowest-first, i.e. grid axis
+    0 = the LAST mesh axis); pgrid=(n,) reproduces the slab. Each device
+    owns a contiguous block of node planes per partitioned axis with a
+    one-plane overlap, so interface sums complete by one ppermute per
+    axis (halo_sum_blocked_axis) — sequential exchanges carry the
+    edge/corner coupling. The device mesh axes are named dev0, dev1, ...
+    matching pgrid order.
+    """
+
+    mesh: BoxMesh
+    pgrid: tuple
+
+    def __post_init__(self):
+        m = self.mesh
+        self.naxes = len(self.pgrid)
+        if self.naxes > m.dim:
+            raise ValueError("more partitioned axes than mesh dimensions")
+        N = m.ngl
+        self.ne_loc = []
+        self.rows_loc = []
+        self.row0 = []
+        for j, p in enumerate(self.pgrid):
+            nel = m.nelem[m.dim - 1 - j]  # grid axis j = mesh axis dim-1-j
+            if nel % p != 0:
+                raise ValueError(
+                    f"nelem[{m.dim - 1 - j}]={nel} must divide evenly "
+                    f"over {p} devices (grid axis {j})"
+                )
+            ne = nel // p
+            self.ne_loc.append(ne)
+            self.rows_loc.append(ne * (N - 1) + 1)
+            self.row0.append(np.arange(p) * ne * (N - 1))
+        self.axis_names = tuple(f"dev{j}" for j in range(self.naxes))
+
+    @property
+    def local_npts(self):
+        """Local node counts, MESH-axis order."""
+        npts = list(self.mesh.npts)
+        for j in range(self.naxes):
+            npts[self.mesh.dim - 1 - j] = self.rows_loc[j]
+        return tuple(npts)
+
+    @property
+    def local_nelem(self):
+        nel = list(self.mesh.nelem)
+        for j in range(self.naxes):
+            nel[self.mesh.dim - 1 - j] = self.ne_loc[j]
+        return tuple(nel)
+
+    def local_grid_shape(self, k: int):
+        return tuple(reversed(self.local_npts)) + (k,)
+
+    def to_local_grid(self, x_global, k: int):
+        """flat global -> (pgrid..., local_grid...) stacked local grids."""
+        g = np.asarray(x_global).reshape(
+            tuple(reversed(self.mesh.npts)) + (k,)
+        )
+        out = np.empty(tuple(self.pgrid) + self.local_grid_shape(k),
+                       dtype=g.dtype)
+        for didx in np.ndindex(*self.pgrid):
+            sl = [slice(None)] * g.ndim
+            for j, d in enumerate(didx):
+                sl[j] = slice(self.row0[j][d],
+                              self.row0[j][d] + self.rows_loc[j])
+            out[didx] = g[tuple(sl)]
+        return out
+
+    def from_local_grid(self, x_stacked):
+        """Inverse of to_local_grid (drops duplicated first planes)."""
+        xs = np.asarray(x_stacked)
+        gshape = tuple(reversed(self.mesh.npts)) + xs.shape[-1:]
+        g = np.empty(gshape, dtype=xs.dtype)
+        for didx in np.ndindex(*self.pgrid):
+            src = [slice(None)] * (len(gshape))
+            dst = [slice(None)] * (len(gshape))
+            for j, d in enumerate(didx):
+                lo = 0 if d == 0 else 1
+                src[j] = slice(lo, self.rows_loc[j])
+                dst[j] = slice(self.row0[j][d] + lo,
+                               self.row0[j][d] + self.rows_loc[j])
+            g[tuple(dst)] = xs[didx][tuple(src)]
+        return g.reshape(-1)
+
+    def owned_grid_weights(self, k: int):
+        """(pgrid..., local_grid...): 1 on owned planes, 0 on duplicated."""
+        w = np.ones(tuple(self.pgrid) + self.local_grid_shape(k))
+        for j, p in enumerate(self.pgrid):
+            if p == 1:
+                continue
+            idx = [slice(None)] * w.ndim
+            idx[j] = slice(1, None)            # devices > 0 on this axis
+            idx[self.naxes + j] = 0            # their first local plane
+            w[tuple(idx)] = 0.0
+        return w
+
+    def device_mesh(self, devices=None):
+        n = int(np.prod(self.pgrid))
+        devices = devices if devices is not None else jax.devices()[:n]
+        return Mesh(np.array(devices).reshape(self.pgrid), self.axis_names)
+
+
 # ----------------------------------------------------------------------
 # inside-shard_map primitives
 # ----------------------------------------------------------------------
@@ -192,6 +297,66 @@ def halo_sum_grid(x, n_dev: int):
     x = x.at[-1].add(from_above)
     x = x.at[0].add(from_below)
     return x
+
+
+def halo_sum_grid_axis(x, grid_axis: int, axis_name: str, n_dev: int):
+    """halo_sum for GRID-shaped local state along one partitioned axis."""
+    if n_dev == 1:
+        return x
+
+    def plane(block):
+        idx = [slice(None)] * x.ndim
+        idx[grid_axis] = block
+        return tuple(idx)
+
+    lo = x[plane(0)]
+    hi = x[plane(x.shape[grid_axis] - 1)]
+    from_above = jax.lax.ppermute(
+        lo, axis_name, [(i, i - 1) for i in range(1, n_dev)]
+    )
+    from_below = jax.lax.ppermute(
+        hi, axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    x = x.at[plane(x.shape[grid_axis] - 1)].add(from_above)
+    x = x.at[plane(0)].add(from_below)
+    return x
+
+
+def halo_sum_blocked_axis(xb, P: int, dim: int, grid_axis: int,
+                          axis_name: str, n_dev: int):
+    """Complete interface partial sums along ONE partitioned grid axis of
+    a parity-blocked tensor (B0..Bd-1, P^dim*k).
+
+    Grid plane r on axis a lives at (block r//P, sub r%P); the interface
+    planes are (block 0, sub 0) and (block B_a-1, sub 0). Works for any
+    axis by exposing the sub-index structure of the channel dim; on a
+    multi-axis device mesh, apply once per partitioned axis in sequence —
+    the second exchange carries the first's corner contributions, so
+    edge/corner coupling completes without dedicated corner messages.
+    """
+    if n_dev == 1:
+        return xb
+    B = xb.shape[:dim]
+    k = xb.shape[-1] // P**dim
+    xr = xb.reshape(B + (P,) * dim + (k,))
+
+    def plane_idx(block):
+        idx = [slice(None)] * xr.ndim
+        idx[grid_axis] = block
+        idx[dim + grid_axis] = 0
+        return tuple(idx)
+
+    lo = xr[plane_idx(0)]
+    hi = xr[plane_idx(B[grid_axis] - 1)]
+    from_above = jax.lax.ppermute(
+        lo, axis_name, [(i, i - 1) for i in range(1, n_dev)]
+    )
+    from_below = jax.lax.ppermute(
+        hi, axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    xr = xr.at[plane_idx(B[grid_axis] - 1)].add(from_above)
+    xr = xr.at[plane_idx(0)].add(from_below)
+    return xr.reshape(xb.shape)
 
 
 def halo_sum_blocked(xb, plane_c: int, n_dev: int):

@@ -147,3 +147,41 @@ def test_unstructured_distributed_matches_single(tmp_path):
     assert n == n_ref
     assert abs(t - t_ref) < 1e-14
     assert err < 1e-10, err
+
+
+@pytest.mark.parametrize("pgrid", [(2, 2), (4, 2)])
+def test_pencil_taylor_green_matches_single(pgrid):
+    """N-D pencil decomposition (2D device mesh over the two slowest grid
+    axes, sequential per-axis halo exchange) matches single-device."""
+    cfg = make_config((4, 8), 3, rho=0.5, mu=0.01, end=0.02, max_steps=20)
+    cfg["multigrid"] = False
+    p = CustomFuncProblem(cfg, case="taylor-green").setup()
+    w_ref, t_ref, n_ref = p.run()
+
+    p2 = CustomFuncProblem(cfg, case="taylor-green").setup()
+    sp = ShardedNSProblem(p2, pgrid)
+    w_loc, t, n = sp.run()
+    w_dist = sp.unshard(w_loc, p2.dim_w)
+    assert n == n_ref
+    err = np.linalg.norm(w_dist - np.asarray(w_ref)) / np.linalg.norm(
+        np.asarray(w_ref)
+    )
+    assert err < 1e-10, err
+
+
+def test_pencil_cavity_matches_single():
+    """Dual-mask cavity solve on a (2, 2) device mesh."""
+    cfg = make_config((4, 8), 3, rho=1.0, mu=0.1, end=0.1, max_steps=10)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    cfg["multigrid"] = False
+    p = CavityProblem(cfg).setup()
+    w_ref, t_ref, n_ref = p.run(max_steps=4)
+
+    p2 = CavityProblem(cfg).setup()
+    sp = ShardedNSProblem(p2, (2, 2))
+    w_loc, t, n = sp.run(max_steps=4)
+    w_dist = sp.unshard(w_loc, 1)
+    assert n == n_ref
+    denom = max(np.linalg.norm(np.asarray(w_ref)), 1.0)
+    err = np.linalg.norm(w_dist - np.asarray(w_ref)) / denom
+    assert err < 1e-8, err

@@ -50,8 +50,13 @@ def cavity_config():
     if os.environ.get("BENCH_MG_PRE") or os.environ.get("BENCH_MG_POST"):
         mg = {"pre": int(os.environ.get("BENCH_MG_PRE", "3")),
               "post": int(os.environ.get("BENCH_MG_POST", "3"))}
+    cfg_extra = {}
+    if os.environ.get("BENCH_REFINE") == "1":
+        # f64 state + mixed-precision refinement: TRUE 1e-8 residuals
+        cfg_extra["kle-refine"] = True
     return {
         "multigrid": mg,
+        **cfg_extra,
         "name": "cavity-bench",
         "material-properties": {"rho": 1.0, "mu": 0.01},
         "domain": {

@@ -76,9 +76,16 @@ class BaseProblem:
         self.dt0 = float(ts.get("dt0", min(0.1, (self.t_end - self.t_start) / 10 or 0.1)))
         self.ts_atol = float(ts.get("atol", 1e-4))
         self.ts_rtol = float(ts.get("rtol", 1e-4))
+        md = ts.get("max-dt")
+        self.ts_max_dt = float(md) if md is not None else None
 
         self.kle_rtol = float(config.get("kle-rtol", 1e-10))
         self.kle_maxiter = int(config.get("kle-maxiter", 5000))
+        # mixed-precision iterative refinement (kle.py solve_ir): f64
+        # state + TRUE f64 residuals, f32 multigrid-CG inner solves —
+        # the TPU route to the reference-LU 1e-8 residual parity
+        self._refine = bool(config.get("kle-refine")) and dtype == jnp.float64
+        self.kle_inner_rtol = float(config.get("kle-inner-rtol", 1e-4))
 
         bc = config.get("boundary-conditions")
         if bc is not None:
@@ -133,6 +140,9 @@ class BaseProblem:
         self.elem = SpectralElement(self.ngl, self.dim)
         self.system = build_kle_system(self.mesh, self.elem, self.dtype)
         self.operators = build_operators(self.mesh, self.elem, self.dtype)
+        if self._refine:
+            self.system32 = build_kle_system(self.mesh, self.elem,
+                                             jnp.float32)
         self.setup_bc()
         self._setup_blocked()
         self.setup_preconditioner()
@@ -258,8 +268,11 @@ class BaseProblem:
 
         mgc = self.config.get("multigrid", True)
         opts = mgc if isinstance(mgc, dict) else {}
+        # under f64 iterative refinement the V-cycle only preconditions
+        # the f32 inner solves; f64 emulation makes it ~200x slower on TPU
+        mg_dtype = jnp.float32 if self._refine else self.dtype
         mg = MGPreconditioner(
-            self.mesh, self.elem, dtype=self.dtype,
+            self.mesh, self.elem, dtype=mg_dtype,
             pre_smooth=int(opts.get("pre", 3)),
             post_smooth=int(opts.get("post", 3)),
         )
@@ -272,10 +285,15 @@ class BaseProblem:
             )
             return
         self.mg = mg
+
+        def build_mask(name):
+            m = self._m(name)
+            return mg.build(m.astype(mg_dtype) if self._refine else m)
+
         if hasattr(self, "free_mask"):
-            self._minv = mg.build(self._m("free_mask"))
+            self._minv = build_mask("free_mask")
         if getattr(self, "free_mask_fs", None) is not None:
-            self._minv_fs = mg.build(self._m("free_mask_fs"))
+            self._minv_fs = build_mask("free_mask_fs")
 
     # -- solves ----------------------------------------------------------
     def solve_kle(self, t, vort, x0=None):
@@ -330,7 +348,8 @@ class BaseProblem:
 
         step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol,
                                         rtol=self.ts_rtol,
-                                        wlte_norm=self._wlte_norm()))
+                                        wlte_norm=self._wlte_norm(),
+                                        max_dt=self.ts_max_dt))
         # state lives in the solver layout (parity-blocked on TPU meshes);
         # grid/flat only at the IO boundaries below
         blk = self._blk if self._blocked else (lambda x: x)
@@ -408,10 +427,23 @@ class FreeSlipProblem(BaseProblem):
         matches the caller's vort layout (solver runs blocked on TPU).
         """
         vort, x0, restore = self._kle_layout(vort, x0)
+        mask = self._m("free_mask")
+        if self._refine:
+            from pynama_tpu.kle import solve_ir
+
+            res = solve_ir(
+                self.system, self.system32, vort, self._solver_bc(t),
+                mask, mask.astype(jnp.float32), x0=x0,
+                rtol=rtol if rtol is not None else self.kle_rtol,
+                maxiter=maxiter if maxiter is not None else self.kle_maxiter,
+                inner_rtol=self.kle_inner_rtol,
+                m_inv32=getattr(self, "_minv", None),
+            )
+            return restore(res.x)
         res = self.system.solve(
             vort,
             self._solver_bc(t),
-            self._m("free_mask"),
+            mask,
             x0=x0,
             rtol=rtol if rtol is not None else self.kle_rtol,
             maxiter=maxiter if maxiter is not None else self.kle_maxiter,

@@ -94,21 +94,40 @@ class NoSlipProblem(BaseProblem):
         maxiter = maxiter if maxiter is not None else self.kle_maxiter
         vort, x0, restore = self._kle_layout(vort, x0)
         u_bc = self._solver_bc(t)
-        res_fs = self.system.solve(
-            vort, u_bc, self._m("free_mask_fs"), x0=x0, rtol=rtol,
-            maxiter=maxiter, restarts=restarts,
-            m_inv=getattr(self, "_minv_fs", None),
-        )
+        mask_fs, mask = self._m("free_mask_fs"), self._m("free_mask")
+        if self._refine:
+            from pynama_tpu.kle import solve_ir
+
+            def ir(w, m, x0_, minv):
+                import jax.numpy as jnp
+
+                return solve_ir(
+                    self.system, self.system32, w, u_bc, m,
+                    m.astype(jnp.float32), x0=x0_, rtol=rtol,
+                    maxiter=maxiter, inner_rtol=self.kle_inner_rtol,
+                    m_inv32=minv,
+                )
+
+            res_fs = ir(vort, mask_fs, x0, getattr(self, "_minv_fs", None))
+        else:
+            res_fs = self.system.solve(
+                vort, u_bc, mask_fs, x0=x0, rtol=rtol,
+                maxiter=maxiter, restarts=restarts,
+                m_inv=getattr(self, "_minv_fs", None),
+            )
         # applyBoundaryConditionsFS (cavity.py:67-82): overwrite no-slip
         # wall velocities before computing the wall vorticity
         fsfree = self._m("_fsfree")
         vel_fs = res_fs.x * (1.0 - fsfree) + u_bc * fsfree
         vort2 = self.operators.curl(vel_fs)
-        res = self.system.solve(
-            vort2, u_bc, self._m("free_mask"), x0=res_fs.x, rtol=rtol,
-            maxiter=maxiter, restarts=restarts,
-            m_inv=getattr(self, "_minv", None),
-        )
+        if self._refine:
+            res = ir(vort2, mask, res_fs.x, getattr(self, "_minv", None))
+        else:
+            res = self.system.solve(
+                vort2, u_bc, mask, x0=res_fs.x, rtol=rtol,
+                maxiter=maxiter, restarts=restarts,
+                m_inv=getattr(self, "_minv", None),
+            )
         return restore(res.x)
 
 

@@ -127,6 +127,77 @@ class KLESystem:
         return CGResult(x=res.x, iters=total_iters, resnorm=res.resnorm)
 
 
+def solve_ir(
+    sys64: "KLESystem",
+    sys32: "KLESystem",
+    vort,
+    u_bc,
+    free_mask,
+    free_mask32,
+    x0=None,
+    rtol: float = 1e-8,
+    maxiter: int = 4000,
+    max_rounds: int = 4,
+    inner_rtol: float = 1e-4,
+    m_inv32=None,
+    dot=sumdot,
+) -> CGResult:
+    """Mixed-precision iterative refinement: TRUE f64 residual, f32 inner.
+
+    The reference's LU backsolves deliver machine-precision residuals in
+    f64 (ksp_solver.py:12-19); plain f32 CG on TPU floors at a true
+    relative residual of ~1e-6 (the apply's rounding), however tight the
+    stopping tolerance. This is the TPU-native route to the 1e-8 parity
+    residual: the defect equation is formed with ONE f64 operator apply
+    per round (f64 works on the TPU, ~10x an f32 apply — cheap next to a
+    solve), the correction is solved by the f32 multigrid-CG stack, and
+    the f64 iterate accumulates the corrections. Each round multiplies
+    the TRUE residual by ~inner_rtol, so 1e-8 from a warm start is
+    typically one round.
+
+    vort/u_bc/free_mask are f64 (solver layout); free_mask32/m_inv32 the
+    f32 mask and preconditioner for the inner solves.
+    """
+    b = sys64.rhs(vort, u_bc, free_mask)
+    if x0 is None:
+        x = (1.0 - free_mask) * u_bc
+    else:
+        x = free_mask * x0 + (1.0 - free_mask) * u_bc
+    tol2 = (rtol ** 2) * dot(b, b)
+    if m_inv32 is None:
+        m_inv32 = sys32.jacobi_inv(free_mask32)
+
+    def true_res(x):
+        r = b - sys64.apply_masked(x, free_mask)
+        return r, dot(r, r)
+
+    r0, rr0 = true_res(x)
+
+    def cond(state):
+        _, _, rr, rounds, _ = state
+        return (rr > tol2) & (rounds < max_rounds)
+
+    def body(state):
+        x, r, rr, rounds, iters = state
+        d = cg_solve(
+            lambda v: sys32.apply_masked(v, free_mask32),
+            r.astype(jnp.float32),
+            m_inv=m_inv32,
+            rtol=inner_rtol,
+            maxiter=maxiter,
+            dot=dot,
+        )
+        x = x + d.x.astype(x.dtype)
+        r, rr = true_res(x)
+        return (x, r, rr, rounds + 1, iters + d.iters)
+
+    zero = jnp.asarray(0, jnp.int32)
+    x, r, rr, rounds, iters = jax.lax.while_loop(
+        cond, body, (x, r0, rr0, zero, zero)
+    )
+    return CGResult(x=x, iters=iters, resnorm=jnp.sqrt(rr))
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class ProjectionOperators:

@@ -316,7 +316,8 @@ class ShardedNSProblem:
                 return jnp.sqrt(s / n_glob_w)
 
             step_fn = make_bs5_stepper(rhs, atol=atol, rtol=rtol,
-                                       wlte_norm=wlte_norm)
+                                       wlte_norm=wlte_norm,
+                                       max_dt=getattr(p, "ts_max_dt", None))
             res = step_fn(sq(w), t, dt, sq(vel), sq(f1), t_end)
             return (ex(res.y), res.t, res.dt_next, ex(res.aux),
                     ex(res.f_new), res.wlte)

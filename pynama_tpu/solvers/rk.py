@@ -18,7 +18,7 @@ solver state (e.g. the KLE velocity for warm-started CG) through stages
 and steps.
 """
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,13 +74,16 @@ def make_bs5_stepper(
     max_factor: float = 10.0,
     max_attempts: int = 12,
     wlte_norm: Callable = _wlte_norm,
+    max_dt: Optional[float] = None,
 ):
     """Build ``step(y, t, dt, aux, f1, t_end) -> StepResult``.
 
     One *accepted* adaptive step; rejected attempts loop inside. ``f1`` is
     the FSAL derivative at (t, y) (pass rhs(t, y, aux)[0] initially). dt is
     clamped so t never overshoots t_end (PETSc MATCHSTEP behavior,
-    ts_solver.py:19).
+    ts_solver.py:19); max_dt additionally caps the controller's proposals
+    (PETSc TSAdapt dt limits — e.g. a CFL-like bound for IBM runs where
+    the body coupling is applied once per step).
     """
     def attempt(y, t, dt, aux, f1):
         # tableau entries enter as python floats: stays dtype-clean under
@@ -109,6 +112,8 @@ def make_bs5_stepper(
         return y5, ks[-1], wlte, aux_c
 
     def step(y, t, dt, aux, f1, t_end):
+        if max_dt is not None:
+            dt = jnp.minimum(dt, max_dt)
         dt = jnp.minimum(dt, t_end - t)
 
         def cond(s):
@@ -155,6 +160,7 @@ def make_bs5_host_stepper(
     max_factor: float = 10.0,
     max_attempts: int = 12,
     wlte_norm: Callable = _wlte_norm,
+    max_dt: Optional[float] = None,
 ):
     """Host-orchestrated BS5(4) step: one jitted program per stage.
 
@@ -186,6 +192,8 @@ def make_bs5_host_stepper(
 
     def step(y, t, dt, aux, f1, t_end):
         dt = float(min(float(dt), float(t_end) - float(t)))
+        if max_dt is not None:
+            dt = min(dt, float(max_dt))
         for _ in range(max_attempts):
             ks = jnp.zeros((BS5_STAGES,) + y.shape, dtype=y.dtype).at[0].set(f1)
             aux_c = aux

@@ -299,8 +299,22 @@ class BaseProblem:
     def solve_kle(self, t, vort, x0=None):
         raise NotImplementedError
 
+    def _kle_solve_aux(self, t, vort, vel_ws):
+        """Stage KLE solve; returns (vel, aux_next).
+
+        aux is the warm-start state threaded through RK stages — a single
+        velocity here; dual-mask problems override to carry a pair so each
+        system warm-starts from its own previous solution.
+        """
+        vel = self.solve_kle(t, vort, x0=vel_ws)
+        return vel, vel
+
+    def _aux_vel(self, aux):
+        """The reportable velocity component of a warm-start aux."""
+        return aux[-1] if isinstance(aux, tuple) else aux
+
     def transport_rhs(self, t, vort, vel_ws):
-        """d(vort)/dt given vorticity; aux = warm-start velocity.
+        """d(vort)/dt given vorticity; aux = warm-start state (pytree).
 
         Parity: BaseProblem.evalRHS (base_problem.py:212-232).
         Layout-preserving: blocked state passes straight through the
@@ -312,17 +326,19 @@ class BaseProblem:
             flat = vort.ndim == 1
             if flat:
                 vort = vort.reshape(self._gshape(self.dim_w))
-                vel_ws = vel_ws.reshape(self._gshape(self.dim))
+                vel_ws = jax.tree.map(
+                    lambda v: v.reshape(self._gshape(self.dim)), vel_ws)
             vort = self._blk(vort)
-            vel_ws = self._blk(vel_ws)
+            vel_ws = jax.tree.map(self._blk, vel_ws)
         vort = self.vort_bc(t, vort)
-        vel = self.solve_kle(t, vort, x0=vel_ws)
+        vel, aux = self._kle_solve_aux(t, vort, vel_ws)
         f = ns_rhs(self.operators, vel, self.mu, self.rho, self.dim)
         if self._blocked and not blocked_in:
-            f, vel = self._unblk(f), self._unblk(vel)
+            f, aux = self._unblk(f), jax.tree.map(self._unblk, aux)
             if flat:
-                f, vel = f.reshape(-1), vel.reshape(-1)
-        return f, vel
+                f = f.reshape(-1)
+                aux = jax.tree.map(lambda v: v.reshape(-1), aux)
+        return f, aux
 
     # -- transient -------------------------------------------------------
     def run(
@@ -382,14 +398,15 @@ class BaseProblem:
             vort, t, dt, vel, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
             n += 1
             if callback is not None:
-                callback(n, float(t), float(dt), unblk(vort), unblk(vel))
+                callback(n, float(t), float(dt), unblk(vort),
+                         unblk(self._aux_vel(vel)))
             if checkpoint_path and checkpoint_every and n % checkpoint_every == 0:
                 from pynama_tpu.io.checkpoint import save_checkpoint
 
                 save_checkpoint(
                     checkpoint_path, step=n, t=float(t), dt=float(dt),
                     vort=np.asarray(unblk(vort)).reshape(-1),
-                    vel=np.asarray(unblk(vel)).reshape(-1),
+                    vel=np.asarray(unblk(self._aux_vel(vel))).reshape(-1),
                     f1=np.asarray(unblk(f1)).reshape(-1),
                 )
         # public attributes stay flat (interleaved-dof) at the API boundary

@@ -90,9 +90,30 @@ class NoSlipProblem(BaseProblem):
 
     def solve_kle(self, t, vort, x0=None, rtol=None, maxiter=None, restarts=1):
         """Parity: NoSlipFreeSlip.solveKLE (base_problem.py:321-327)."""
+        vort, x0, restore = self._kle_layout(vort, x0)
+        vel, _ = self._solve_kle_pair(t, vort, (x0, None), rtol=rtol,
+                                      maxiter=maxiter, restarts=restarts)
+        return restore(vel)
+
+    def _kle_solve_aux(self, t, vort, vel_ws):
+        """Stage solve with per-system warm starts.
+
+        The FS and final systems have different solutions (they differ at
+        the no-slip walls); warm-starting each from ITS OWN previous-stage
+        solution instead of chaining final<-FS cuts the final solve's CG
+        iterations several-fold (measured at 1.18M dofs, rtol 1e-8: 72 ->
+        ~its FS-like warm count). aux carries the (vel_fs, vel) pair.
+        """
+        pair = vel_ws if isinstance(vel_ws, tuple) else (vel_ws, vel_ws)
+        vel, vel_fs = self._solve_kle_pair(t, vort, pair)
+        return vel, (vel_fs, vel)
+
+    def _solve_kle_pair(self, t, vort, x0_pair, rtol=None, maxiter=None,
+                        restarts=1):
+        """(vel, vel_fs) dual-mask solve; inputs in the solver layout."""
         rtol = rtol if rtol is not None else self.kle_rtol
         maxiter = maxiter if maxiter is not None else self.kle_maxiter
-        vort, x0, restore = self._kle_layout(vort, x0)
+        x0, x0_fin = x0_pair
         u_bc = self._solver_bc(t)
         mask_fs, mask = self._m("free_mask_fs"), self._m("free_mask")
         if self._refine:
@@ -120,15 +141,16 @@ class NoSlipProblem(BaseProblem):
         fsfree = self._m("_fsfree")
         vel_fs = res_fs.x * (1.0 - fsfree) + u_bc * fsfree
         vort2 = self.operators.curl(vel_fs)
+        x0f = x0_fin if x0_fin is not None else res_fs.x
         if self._refine:
-            res = ir(vort2, mask, res_fs.x, getattr(self, "_minv", None))
+            res = ir(vort2, mask, x0f, getattr(self, "_minv", None))
         else:
             res = self.system.solve(
-                vort2, u_bc, mask, x0=res_fs.x, rtol=rtol,
+                vort2, u_bc, mask, x0=x0f, rtol=rtol,
                 maxiter=maxiter, restarts=restarts,
                 m_inv=getattr(self, "_minv", None),
             )
-        return restore(res.x)
+        return res.x, res_fs.x
 
 
 class CavityProblem(NoSlipProblem):

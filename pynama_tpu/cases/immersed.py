@@ -74,6 +74,13 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
         self.cd_history = []
         self.cl_history = []
         self.t_history = []
+        # raw (uncorrected) force coefficients + the step dt they used:
+        # cd_raw(dt) = cd_phys + floor/dt, so two fixed-dt segments give
+        # the dt-independent physical drag by Richardson elimination:
+        #   cd_phys = (cd_A*dt_A - cd_B*dt_B) / (dt_A - dt_B)
+        self.cd_raw_history = []
+        self.cl_raw_history = []
+        self.dt_history = []
         return self
 
     def setup_bc(self):
@@ -215,8 +222,12 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
                 denom = -0.5 * self.u_ref**2 * D * max(used_dt, 1e-30) / dlh
                 forces = self.body.split_forces(np.asarray(q - q_floor),
                                                 denom)
+                raw = self.body.split_forces(np.asarray(q), denom)
                 self.cd_history.append([f[0] for f in forces])
                 self.cl_history.append([f[1] for f in forces])
+                self.cd_raw_history.append([f[0] for f in raw])
+                self.cl_raw_history.append([f[1] for f in raw])
+                self.dt_history.append(used_dt)
                 self.t_history.append(float(t))
             if callback is not None:
                 callback(n, float(t), float(dt), vort, vel)

@@ -244,29 +244,36 @@ class ShardedNSProblem:
                 exact_w = self._grid_to_solver(ew, dim_w)
                 vort = vort * (1.0 - bcw) + exact_w * bcw
             if mask_fs is not None:
-                vel_fs = solve_masked(diag, mask_fs, vort, u_bc,
-                                      vel_ws, pdot, rtol, maxiter)
+                # per-system warm starts (see NoSlipProblem._kle_solve_aux)
+                ws_fs, ws_fin = (vel_ws if isinstance(vel_ws, tuple)
+                                 else (vel_ws, vel_ws))
+                raw_fs = solve_masked(diag, mask_fs, vort, u_bc,
+                                      ws_fs, pdot, rtol, maxiter)
                 fsfree = mask_fs - mask
-                vel_fs = vel_fs * (1.0 - fsfree) + u_bc * fsfree
+                vel_fs = raw_fs * (1.0 - fsfree) + u_bc * fsfree
                 vort2 = curl(wc, vel_fs)
                 vel = solve_masked(diag, mask, vort2, u_bc,
-                                   vel_fs, pdot, rtol, maxiter)
+                                   ws_fin, pdot, rtol, maxiter)
+                aux_next = (raw_fs, vel)
             else:
                 vel = solve_masked(diag, mask, vort, u_bc,
                                    vel_ws, pdot, rtol, maxiter)
-            aux = 2.0 * mu * (self._apply(SrT_op, vel, dim_s) / ws) \
+                aux_next = vel
+            s = 2.0 * mu * (self._apply(SrT_op, vel, dim_s) / ws) \
                 - rho * v_tens_v(vel, dim)
-            r = (self._apply(Div_op, aux, dim) / wv) / rho
-            return curl(wc, r), vel
+            r = (self._apply(Div_op, s, dim) / wv) / rho
+            return curl(wc, r), aux_next
 
         return transport_rhs
 
     # ------------------------------------------------------------------
     def _sq(self, x):
-        return x[(0,) * self.naxes]
+        idx = (0,) * self.naxes
+        return jax.tree.map(lambda a: a[idx], x)
 
     def _ex(self, x):
-        return jnp.expand_dims(x, tuple(range(self.naxes)))
+        axes = tuple(range(self.naxes))
+        return jax.tree.map(lambda a: jnp.expand_dims(a, axes), x)
 
     def build_step(self, kle_rtol=None, kle_maxiter=None, atol=None, rtol=None):
         """jit-compiled distributed adaptive step: (w, t, dt, vel, f1) -> ...
@@ -407,6 +414,8 @@ class ShardedNSProblem:
         step = self.build_step()
         w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
         vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
+        if self.mask_fs is not None:
+            vel = (vel, vel)  # per-system warm-start pair (dual-mask)
         t = jnp.asarray(p.t_start, dtype=p.dtype)
         dt = jnp.asarray(p.dt0, dtype=p.dtype)
         t_end = jnp.asarray(p.t_end, dtype=p.dtype)

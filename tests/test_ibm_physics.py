@@ -1,0 +1,126 @@
+"""Quantitative IBM physics regression (slow: full transient runs).
+
+Parity targets: the reference computes drag/lift from the virtual flux
+(immersed_boundary.py:145-158) and extracts the vortex-shedding frequency
+by FFT (plot.py:37-59) but ships no validated values. Here the static
+cylinder at Re=40 must reproduce the literature steady drag coefficient.
+
+Measurement protocol (see cases/immersed.py): the raw per-step flux
+scales like cd_raw(dt) = cd_phys + floor/dt, where the floor is the
+dt-independent curl->KLE reconstruction error of the delta sheet. Two
+fixed-dt continuation segments from a steady checkpoint eliminate the
+floor by Richardson extrapolation:
+
+    cd_phys = (cd_A dt_A - cd_B dt_B) / (dt_A - dt_B)
+
+Calibration on this exact config (blockage D/H = 8.3%, D/h = 16):
+cd_raw(0.060) = 2.305, cd_raw(0.030) = 2.754 -> cd_phys = 1.86.
+Literature C_D(Re=40) ~ 1.5-1.6 unbounded; the +0.2-0.3 here is the
+documented blockage (+~10%) and coarse-delta effective-diameter bias.
+
+Run with PYNAMA_RUN_SLOW=1 (about an hour on CPU).
+"""
+
+import numpy as np
+import pytest
+
+from pynama_tpu.cases.immersed import ImmersedBoundaryProblem
+
+pytestmark = pytest.mark.slow
+
+
+def _cfg(max_dt=None):
+    ts = {"start-time": 0, "end-time": 40.0, "max-steps": 500, "dt0": 0.01}
+    if max_dt:
+        ts["max-dt"] = max_dt
+    return {
+        "name": "cyl-re40-regression",
+        "material-properties": {"rho": 1.0, "mu": 0.025},
+        "domain": {"ngl": 3, "box-mesh": {"nelem": [144, 96],
+                   "lower": [-6, -6], "upper": [12, 6]}},
+        "boundary-conditions": {"constant": {"re": 40, "direction": 0,
+                                             "longRef": "1"}},
+        "bodies": [{"type": "circle", "vel": "static", "radius": 0.5,
+                    "center": [0, 0]}],
+        "time-solver": ts,
+        "kle-rtol": 1e-8,
+    }
+
+
+def test_static_cylinder_re40_drag(tmp_path):
+    ck = str(tmp_path / "cyl_ck.npz")
+    p = ImmersedBoundaryProblem(_cfg()).setup()
+    assert abs(p.u_ref - 1.0) < 1e-12 and abs(p.re - 40.0) < 1e-9
+    _, t, n = p.run(max_steps=180, checkpoint_path=ck, checkpoint_every=10)
+    assert t > 12.0  # past the startup transient (steady wake, no shedding)
+
+    def segment(max_dt):
+        ps = ImmersedBoundaryProblem(_cfg(max_dt)).setup()
+        ps.run(max_steps=n + 14, resume_from=ck)
+        cds = [c[0] for c in ps.cd_raw_history]
+        cls = [c[0] for c in ps.cl_raw_history]
+        return (float(np.mean(cds[-8:])), float(np.mean(cls[-8:])),
+                float(np.mean(ps.dt_history[-8:])))
+
+    cd_a, cl_a, dt_a = segment(0.06)
+    cd_b, cl_b, dt_b = segment(0.03)
+    assert abs(dt_a - 0.06) < 1e-6 and abs(dt_b - 0.03) < 1e-6
+    cd_phys = (cd_a * dt_a - cd_b * dt_b) / (dt_a - dt_b)
+    cl_phys = (cl_a * dt_a - cl_b * dt_b) / (dt_a - dt_b)
+    # literature 1.5-1.6 + documented blockage/resolution bias
+    assert 1.4 < cd_phys < 2.0, (cd_a, cd_b, cd_phys)
+    # symmetric steady wake at Re=40: physical lift ~ 0
+    assert abs(cl_phys) < 0.1, cl_phys
+
+
+def test_cylinder_re100_strouhal():
+    """Vortex-shedding frequency at Re=100: St in [0.15, 0.19].
+
+    Parity: the reference's FFT shedding-frequency analysis
+    (plot.py:37-59). A vortex-dipole initial kick in the near wake seeds
+    the instability so the frequency locks within t<=60 (calibrated:
+    St = 0.166, spectral peak 186x the median amplitude).
+    """
+    import jax.numpy as jnp
+
+    class KickedCylinder(ImmersedBoundaryProblem):
+        def initial_vorticity(self):
+            c = np.asarray(self.mesh.coords)
+            x, y = c[:, 0], c[:, 1]
+
+            def blob(x0, y0, s):
+                return np.exp(-(((x - x0) ** 2 + (y - y0) ** 2) / s**2))
+
+            w = 3.0 * blob(1.2, 0.45, 0.35) - 3.0 * blob(1.6, -0.4, 0.35)
+            return jnp.asarray(w.reshape(self._gshape(self.dim_w)),
+                               dtype=self.dtype)
+
+    cfg = {
+        "name": "cyl-re100-strouhal",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {"ngl": 3, "box-mesh": {"nelem": [96, 64],
+                   "lower": [-4, -4], "upper": [8, 4]}},
+        "boundary-conditions": {"constant": {"re": 100, "direction": 0,
+                                             "longRef": "1"}},
+        "bodies": [{"type": "circle", "vel": "static", "radius": 0.5,
+                    "center": [0, 0]}],
+        "time-solver": {"start-time": 0, "end-time": 60.0,
+                        "max-steps": 1400, "dt0": 0.01, "max-dt": 0.06},
+        "kle-rtol": 1e-7,
+    }
+    p = KickedCylinder(cfg).setup()
+    _, t, n = p.run(save_forces_every=1)
+    assert t >= 60.0 - 1e-9
+    ts = np.asarray(p.t_history)
+    cls = np.asarray([c[0] for c in p.cl_raw_history])
+    sel = ts > 30.0
+    tu = np.linspace(ts[sel][0], ts[sel][-1], sel.sum())
+    yu = np.interp(tu, ts[sel], cls[sel])
+    yu -= yu.mean()
+    freqs = np.fft.rfftfreq(len(tu), d=tu[1] - tu[0])
+    amp = np.abs(np.fft.rfft(yu))
+    i = int(np.argmax(amp[1:]) + 1)
+    st = float(freqs[i]) * 1.0 / p.u_ref
+    prominence = float(amp[i] / np.median(amp[1:]))
+    assert prominence > 10.0, prominence
+    assert 0.15 < st < 0.19, st

@@ -89,3 +89,43 @@ def test_v_tens_v():
     vel = jnp.asarray(np.array([1.0, 2.0, 3.0, 4.0]))  # two nodes 2D
     out = np.asarray(v_tens_v(vel, 2))
     np.testing.assert_allclose(out, [1.0, 2.0, 4.0, 9.0, 12.0, 16.0])
+
+
+def test_mixed_precision_refinement_reaches_true_residual():
+    """solve_ir: f64 defect + f32 inner solves hit a TRUE f64 residual the
+    pure-f32 path cannot (its apply rounding floors at ~1e-6 relative) —
+    the parity answer to the reference's f64 LU backsolves."""
+    import jax.numpy as jnp
+
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.kle import solve_ir
+    from tests.test_cases import make_config
+
+    cfg = make_config((8, 8), 3, rho=1.0, mu=0.1, end=0.1, max_steps=3)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    cfg["kle-refine"] = True
+    p = CavityProblem(cfg).setup()
+    assert p._refine and p.system32 is not None
+    w0 = p.initial_vorticity()
+    w0s = p._blk(w0) if p._blocked else w0
+    u_bc = p._solver_bc(0.0)
+    mask = p._m("free_mask_fs")
+    res = solve_ir(p.system, p.system32, w0s, u_bc, mask,
+                   mask.astype(jnp.float32), rtol=1e-10,
+                   m_inv32=getattr(p, "_minv_fs", None))
+    b = p.system.rhs(w0s, u_bc, mask)
+    r = b - p.system.apply_masked(res.x, mask)
+    rel = float(jnp.linalg.norm(r.reshape(-1)) /
+                jnp.linalg.norm(b.reshape(-1)))
+    assert rel < 1e-10, rel
+    assert res.x.dtype == jnp.float64
+
+    # the refined dual-mask solve matches a tight plain-f64 solve
+    u = p.solve_kle(0.0, w0)
+    cfg2 = {k: v for k, v in cfg.items() if k != "kle-refine"}
+    p2 = CavityProblem(cfg2).setup()
+    u_ref = p2.solve_kle(0.0, p2.initial_vorticity(), rtol=1e-12,
+                         maxiter=30000, restarts=2)
+    err = float(jnp.linalg.norm((u - u_ref).reshape(-1)) /
+                jnp.linalg.norm(u_ref.reshape(-1)))
+    assert err < 1e-8, err

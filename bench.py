@@ -250,10 +250,14 @@ def bench_sharded(n_dev):
     from pynama_tpu.solvers.rk import make_bs5_host_stepper
 
     dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
-    p = CavityProblem({**cavity_config(), "multigrid": False},
-                      dtype=dtype).setup()
+    cfg = cavity_config()
+    if os.environ.get("BENCH_NO_MG") == "1":
+        cfg["multigrid"] = False
+    p = CavityProblem(cfg, dtype=dtype).setup()
     n_dofs = p.mesh.n_nodes * p.dim
     sp = ShardedNSProblem(p, n_dev)
+    if sp._dmg is not None:
+        print("sharded: distributed multigrid active", file=sys.stderr)
     rhs_fn = sp.build_rhs(kle_rtol=KLE_RTOL, kle_maxiter=p.kle_maxiter)
 
     def rhs(t, w, aux):
@@ -278,8 +282,9 @@ def bench_sharded(n_dev):
         w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
     jax.block_until_ready(w)
     ms = (time.perf_counter() - t0) / STEPS * 1e3
-    print(f"sharded[{n_dev} dev] {n_dofs} dofs: {ms:.1f} ms/step "
-          f"(Jacobi-CG, no MG)", file=sys.stderr)
+    pc = "distributed MG" if sp._dmg is not None else "Jacobi-CG"
+    print(f"sharded[{n_dev} dev] {n_dofs} dofs: {ms:.1f} ms/step ({pc})",
+          file=sys.stderr)
     return ms, n_dofs
 
 

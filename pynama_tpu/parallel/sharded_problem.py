@@ -151,6 +151,16 @@ class ShardedNSProblem:
         self.n_vel_global = m.n_nodes * dim
         self.n_vort_global = m.n_nodes * dim_w
 
+        # distributed multigrid: same V-cycle as single-chip, run inside
+        # shard_map (slab only; every level must slab-divide evenly)
+        self._dmg = None
+        mg = getattr(problem, "mg", None)
+        if (mg is not None and self.naxes == 1
+                and getattr(mg, "dtype", None) == problem.dtype):
+            from pynama_tpu.parallel.dist_mg import build_dist_mg
+
+            self._dmg = build_dist_mg(mg, self)
+
     def _owned(self, k):
         """Owned-dof weights in solver layout (pad slots 0)."""
         w = self.slab.owned_grid_weights(k)
@@ -211,11 +221,13 @@ class ShardedNSProblem:
         K_op, Rw_op = self.K_op, self.Rw_op
         Curl_op, SrT_op, Div_op = self.Curl_op, self.SrT_op, self.Div_op
 
-        def solve_masked(diag, mask, vort, u_bc, x0, pdot, rtol, maxiter):
+        def solve_masked(diag, mask, vort, u_bc, x0, pdot, rtol, maxiter,
+                         minv=None):
             bc = (1.0 - mask) * u_bc
             b = mask * (self._apply(Rw_op, vort, dim)
                         - self._apply(K_op, bc, dim)) + bc
-            m_inv = 1.0 / (mask * diag + (1.0 - mask))
+            m_inv = minv if minv is not None \
+                else 1.0 / (mask * diag + (1.0 - mask))
 
             def A(x):
                 return mask * self._apply(K_op, mask * x, dim) \
@@ -229,8 +241,10 @@ class ShardedNSProblem:
         def curl(wc, u):
             return self._apply(Curl_op, u, dim_w) / wc
 
-        def transport_rhs(loc, t, vort, vel_ws, pdot, rtol, maxiter):
+        def transport_rhs(loc, t, vort, vel_ws, pdot, rtol, maxiter,
+                          minvs=(None, None)):
             (diag, mask, mask_fs, wc, ws, wv, u_bc_static, coords, bcw) = loc
+            minv_fs, minv_fin = minvs
             if self.vel_fn is not None:
                 pts = coords.reshape(-1, dim)
                 u = self.vel_fn(pts, p.nu, t).reshape(coords.shape)
@@ -248,16 +262,19 @@ class ShardedNSProblem:
                 ws_fs, ws_fin = (vel_ws if isinstance(vel_ws, tuple)
                                  else (vel_ws, vel_ws))
                 raw_fs = solve_masked(diag, mask_fs, vort, u_bc,
-                                      ws_fs, pdot, rtol, maxiter)
+                                      ws_fs, pdot, rtol, maxiter,
+                                      minv=minv_fs)
                 fsfree = mask_fs - mask
                 vel_fs = raw_fs * (1.0 - fsfree) + u_bc * fsfree
                 vort2 = curl(wc, vel_fs)
                 vel = solve_masked(diag, mask, vort2, u_bc,
-                                   ws_fin, pdot, rtol, maxiter)
+                                   ws_fin, pdot, rtol, maxiter,
+                                   minv=minv_fin)
                 aux_next = (raw_fs, vel)
             else:
                 vel = solve_masked(diag, mask, vort, u_bc,
-                                   vel_ws, pdot, rtol, maxiter)
+                                   vel_ws, pdot, rtol, maxiter,
+                                   minv=minv_fin)
                 aux_next = vel
             s = 2.0 * mu * (self._apply(SrT_op, vel, dim_s) / ws) \
                 - rho * v_tens_v(vel, dim)
@@ -299,22 +316,34 @@ class ShardedNSProblem:
         has_ubc = self.u_bc is not None
         has_bcw = self.bc_vort_mask is not None
         sq, ex = self._sq, self._ex
+        mg_meta, mg_st, mg_rp = self._dmg if self._dmg else (None, (), ())
+
+        def make_minvs(mg_st_loc, loc_mask_fs, loc_mask):
+            if mg_meta is None:
+                return (None, None)
+            from pynama_tpu.parallel.dist_mg import make_minv
+
+            fin = make_minv(mg_meta, mg_st_loc, mg_rp, loc_mask)
+            fs = (make_minv(mg_meta, mg_st_loc, mg_rp, loc_mask_fs)
+                  if has_fs else None)
+            return (fs, fin)
 
         def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
-                 own_v, own_w, w, t, dt, vel, f1, t_end):
+                 own_v, own_w, mg_stacked, w, t, dt, vel, f1, t_end):
             loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
                    sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
                    sq(bcw) if has_bcw else None)
             ov = sq(own_v)
             ow = sq(own_w)
+            minvs = make_minvs(sq(mg_stacked), loc[2], loc[1])
 
             def pdot(a, b):
                 return jax.lax.psum(jnp.sum(a * b * ov), names)
 
             def rhs(tt, ww, aux):
                 return transport_rhs(loc, tt, ww, aux, pdot, kle_rtol,
-                                     kle_maxiter)
+                                     kle_maxiter, minvs=minvs)
 
             def wlte_norm(err, y_old, y_new, a, r):
                 wgt = a + r * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
@@ -329,8 +358,9 @@ class ShardedNSProblem:
             return (ex(res.y), res.t, res.dt_next, ex(res.aux),
                     ex(res.f_new), res.wlte)
 
-        in_specs = tuple([spec_d] * 11 + [spec_d, spec_r, spec_r, spec_d,
-                                          spec_d, spec_r])
+        mg_st_specs = jax.tree.map(lambda _: spec_d, mg_st)
+        in_specs = tuple([spec_d] * 11 + [mg_st_specs] + [
+            spec_d, spec_r, spec_r, spec_d, spec_d, spec_r])
         out_specs = (spec_d, spec_r, spec_r, spec_d, spec_d, spec_r)
         fn = shard_map(
             body, mesh=self.mesh_dev, in_specs=in_specs, out_specs=out_specs,
@@ -345,8 +375,8 @@ class ShardedNSProblem:
 
         @jax.jit
         def step(w, t, dt, vel, f1, t_end):
-            return fn(*statics, self.own_v, self.own_w, w, t, dt, vel, f1,
-                      t_end)
+            return fn(*statics, self.own_v, self.own_w, mg_st, w, t, dt,
+                      vel, f1, t_end)
 
         return step
 
@@ -370,20 +400,31 @@ class ShardedNSProblem:
         has_ubc = self.u_bc is not None
         has_bcw = self.bc_vort_mask is not None
         sq, ex = self._sq, self._ex
+        mg_meta, mg_st, mg_rp = self._dmg if self._dmg else (None, (), ())
 
         def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
-                 own_v, w, vel, t):
+                 own_v, mg_stacked, w, vel, t):
             loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
                    sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
                    sq(bcw) if has_bcw else None)
             ov = sq(own_v)
+            if mg_meta is not None:
+                from pynama_tpu.parallel.dist_mg import make_minv
+
+                mg_loc = sq(mg_stacked)
+                fin = make_minv(mg_meta, mg_loc, mg_rp, loc[1])
+                fs = (make_minv(mg_meta, mg_loc, mg_rp, loc[2])
+                      if has_fs else None)
+                minvs = (fs, fin)
+            else:
+                minvs = (None, None)
 
             def pdot(a, b):
                 return jax.lax.psum(jnp.sum(a * b * ov), names)
 
             f, v = transport_rhs(loc, t, sq(w), sq(vel), pdot,
-                                 kle_rtol, kle_maxiter)
+                                 kle_rtol, kle_maxiter, minvs=minvs)
             return ex(f), ex(v)
 
         statics = (self.diag_K, self.mask,
@@ -391,15 +432,17 @@ class ShardedNSProblem:
                    self.w_curl, self.w_srt, self.w_div,
                    self.u_bc if has_ubc else self.diag_K, self.coords,
                    self.bc_vort_mask if has_bcw else self.w_curl)
+        mg_st_specs = jax.tree.map(lambda _: spec_d, mg_st)
         fn = shard_map(
             body, mesh=self.mesh_dev,
-            in_specs=tuple([spec_d] * 10 + [spec_d, spec_d, P()]),
+            in_specs=tuple([spec_d] * 10 + [mg_st_specs, spec_d, spec_d,
+                                            P()]),
             out_specs=(spec_d, spec_d), check_vma=False,
         )
 
         @jax.jit
         def rhs(w, vel, t):
-            return fn(*statics, self.own_v, w, vel, t)
+            return fn(*statics, self.own_v, mg_st, w, vel, t)
 
         return rhs
 

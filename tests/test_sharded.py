@@ -185,3 +185,32 @@ def test_pencil_cavity_matches_single():
     denom = max(np.linalg.norm(np.asarray(w_ref)), 1.0)
     err = np.linalg.norm(w_dist - np.asarray(w_ref)) / denom
     assert err < 1e-8, err
+
+
+def test_distributed_multigrid_rhs_matches_single():
+    """Distributed V-cycle (pynama_tpu/parallel/dist_mg.py): the slab-
+    partitioned multigrid-preconditioned RHS matches the single-device
+    MG path. Compared at the RHS level — the fully-inlined distributed
+    stepper with V-cycles is compile-prohibitive at test scale, and the
+    production path host-stages stages anyway (bench.py)."""
+    import jax.numpy as jnp
+
+    cfg = make_config((16, 16), 3, rho=1.0, mu=0.1, end=0.05, max_steps=6)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    cfg["kle-rtol"] = 1e-11
+    p = CavityProblem(cfg).setup()
+    assert getattr(p, "mg", None) is not None
+    t = jnp.asarray(0.0, p.dtype)
+    w0 = p.initial_vorticity()
+    f_ref, _ = p.transport_rhs(t, w0, p.zero_vel())
+    f_ref = np.asarray(f_ref).reshape(-1)
+
+    sp = ShardedNSProblem(p, 4)
+    assert sp._dmg is not None, "distributed MG must build for 16/8/4 slabs"
+    rhs = sp.build_rhs()
+    w = sp.shard(np.asarray(w0).reshape(-1), p.dim_w)
+    vel = sp.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
+    f, _ = rhs(w, (vel, vel), t)
+    fd = sp.unshard(f, p.dim_w)
+    err = np.linalg.norm(fd - f_ref) / max(np.linalg.norm(f_ref), 1.0)
+    assert err < 1e-6, err

@@ -170,6 +170,10 @@ def profile():
     if getattr(p, "_blocked", False):
         vel0 = p._blk(vel0)
     f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel0)
+    # second warmup: the aux pytree may change structure after the first
+    # call (dual-mask warm-start pair), which would retrace — warm the
+    # steady-state structure before timing
+    f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel)
     jax.block_until_ready((f1, vel))
     t0 = time.perf_counter()
     f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel)

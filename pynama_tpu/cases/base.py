@@ -275,6 +275,9 @@ class BaseProblem:
             self.mesh, self.elem, dtype=mg_dtype,
             pre_smooth=int(opts.get("pre", 3)),
             post_smooth=int(opts.get("post", 3)),
+            smoother=opts.get("smoother", "patch"),
+            cheb_div=opts.get("cheb-div"),
+            galerkin=bool(opts.get("galerkin", True)),
         )
         if not mg.usable:
             logger.warning(

@@ -43,27 +43,36 @@ _DIMNUMS = {1: ("NWC", "WIO", "NWC"),
 
 
 @lru_cache(maxsize=None)
-def _kernel_indices(ngl: int, dim: int, k_out: int, k_in: int):
+def _kernel_indices(ngl: int, dim: int, k_out: int, k_in: int,
+                    ext: int = None):
     """Flat scatter indices building W from A.reshape(-1).
 
     A flat layout: ((l_nodes, k_out), (m_nodes, k_in)) row-major with
     local node lexicographic x fastest, i.e. node axes in GRID ORDER
-    (slowest spatial axis first) when reshaped to (N,)*dim.
+    (slowest spatial axis first) when reshaped to (E,)*dim.
     Returns (w_idx, w_shape): W.reshape(-1).at[w_idx].add(A.reshape(-1)).
-    W shape: (3,)*dim + (P^dim*k_in, P^dim*k_out)   [HWIO-style].
+    W shape: (F,)*dim + (P^dim*k_in, P^dim*k_out)   [HWIO-style].
+
+    ext: local node extent E per axis (default ngl — ordinary elements).
+    "Cells" of extent E tile the node grid with stride P = ngl-1, so any
+    E > ngl describes an OVERLAPPING window (e.g. vertex-star patches,
+    E = 2*ngl-1) and yields a wider conv footprint F = 2*((E-1)//P)+1.
     """
     N, P = ngl, ngl - 1
-    nnode = N**dim
+    E = N if ext is None else ext
+    maxblk = (E - 1) // P
+    F = 2 * maxblk + 1
+    nnode = E**dim
     Cin, Cout = P**dim * k_in, P**dim * k_out
-    w_shape = (3,) * dim + (Cin, Cout)
+    w_shape = (F,) * dim + (Cin, Cout)
 
     # per-axis digit tables for every local node id (grid order)
     ids = np.arange(nnode)
     digs = []
     for ax in range(dim):  # axis 0 slowest
-        digs.append((ids // (N ** (dim - 1 - ax))) % N)
+        digs.append((ids // (E ** (dim - 1 - ax))) % E)
     digs = np.stack(digs)                     # (dim, nnode)
-    blk = digs // P                           # 0 or 1
+    blk = digs // P                           # 0 .. maxblk
     sub = digs % P
 
     def chan(subs, k):
@@ -79,7 +88,7 @@ def _kernel_indices(ngl: int, dim: int, k_out: int, k_in: int):
     m = ids[None, :]                          # in node
     q = np.zeros((nnode, nnode), dtype=np.int64)
     for ax in range(dim):
-        q = q * 3 + (blk[ax][m] - blk[ax][l] + 1)
+        q = q * F + (blk[ax][m] - blk[ax][l] + maxblk)
     # W flat index of the (q, ci, co) cell origin
     cell = (q * Cin + ci_node[m]) * Cout + co_node[l]   # (nnode, nnode)
 
@@ -92,8 +101,8 @@ def _kernel_indices(ngl: int, dim: int, k_out: int, k_in: int):
     return w_idx.reshape(-1), w_shape  # numpy (cache must stay concrete)
 
 
-def _build_kernel(A, ngl, dim, k_out, k_in, dtype):
-    w_idx, w_shape = _kernel_indices(ngl, dim, k_out, k_in)
+def _build_kernel(A, ngl, dim, k_out, k_in, dtype, ext=None):
+    w_idx, w_shape = _kernel_indices(ngl, dim, k_out, k_in, ext)
     if isinstance(A, jax.core.Tracer):
         W = jnp.zeros(int(np.prod(w_shape)), dtype=dtype)
         W = W.at[jnp.asarray(w_idx)].add(A.reshape(-1))
@@ -159,6 +168,27 @@ def build_conv_kernels(A, ngl, dim, k_out, k_in, dtype):
     return W, tuple(corrections)
 
 
+def build_patch_kernel(Bmat, ngl, dim, k, dtype):
+    """Conv kernel of a vertex-star additive-Schwarz smoother.
+
+    Bmat: (((2P+1)^dim)*k)^2 patch matrix (typically the INVERSE of the
+    patch stiffness R_p A R_p^T), local nodes in grid order — the
+    "elemental matrix" of overlapping windows of extent 2*ngl-1 tiling
+    the node grid with stride P = ngl-1 (one window per mesh vertex).
+    Returns a footprint-5 conv kernel W computing
+
+        y = sum_p R_p^T Bmat R_p x     over ALL window positions.
+
+    No boundary corrections are returned on purpose: phantom windows
+    (centers on/outside the boundary) read the zero-extension of x, so
+    their contribution is an extra PSD term — harmless (mild extra
+    smoothing near boundaries) and SPD-preserving, unlike an elemental
+    OPERATOR where phantom cells would corrupt the result.
+    """
+    ext = 2 * (ngl - 1) + 1
+    return _build_kernel(Bmat, ngl, dim, k, k, dtype, ext=ext)
+
+
 # ----------------------------------------------------------------------
 # apply
 # ----------------------------------------------------------------------
@@ -196,17 +226,21 @@ def _from_blocked(y, ngl, npts_grid, k_out):
 def conv_blocked(xb, W, precision):
     """Stencil contraction on a parity-blocked tensor (..., B..., Cin).
 
-    Implemented as 3^dim shifted GEMMs instead of conv_general_dilated:
+    Implemented as F^dim shifted GEMMs instead of conv_general_dilated:
     XLA's TPU conv lowering for these narrow channel counts measures ~2.5x
     slower than explicit pad + slice + dot (which fuses the accumulation).
+    Footprint F per axis is read off W (3 for elemental operators, 5 for
+    vertex-star patch smoothers).
     """
     dim = W.ndim - 2
+    F = W.shape[0]
+    Q = (F - 1) // 2
     B = xb.shape[-dim - 1:-1]
     k_out = W.shape[-1]
-    pads = ((0, 0),) * (xb.ndim - dim - 1) + ((1, 1),) * dim + ((0, 0),)
+    pads = ((0, 0),) * (xb.ndim - dim - 1) + ((Q, Q),) * dim + ((0, 0),)
     g = jnp.pad(xb, pads)
     out = jnp.zeros(xb.shape[:-1] + (k_out,), dtype=xb.dtype)
-    for q in np.ndindex(*(3,) * dim):
+    for q in np.ndindex(*(F,) * dim):
         sl = (Ellipsis,) + tuple(
             slice(q[i], q[i] + B[i]) for i in range(dim)
         ) + (slice(None),)

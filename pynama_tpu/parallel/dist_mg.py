@@ -78,7 +78,8 @@ def build_dist_mg(mg, sharded):
     meta = _DistMGMeta(
         ngl=N, dim=dim, blocked=sharded.blocked,
         axis_name=sharded.axis_names[0], n_dev=n_dev,
-        lam_max=list(mg.lam_max), ratios=[l.ratio for l in mg.levels[:-1]],
+        lam_max=list(getattr(mg, "lam_max_jacobi", mg.lam_max)),
+        ratios=[l.ratio for l in mg.levels[:-1]],
         local_nelem=[], local_npts=[], rows_loc=[],
         pre=mg.pre, post=mg.post,
     )

@@ -16,11 +16,21 @@ V-cycle over the nested element hierarchy:
   * coarsest level: dense inverse of the masked operator, materialized
     once at setup.
 
-Because coarse spectral-element spaces are exactly nested in fine ones,
-the rediscretized coarse operator coincides with the Galerkin operator up
-to reduced-quadrature differences in the penalty terms — in practice a
-spectrally-equivalent preconditioner that makes CG iteration counts
-mesh-independent (verified in tests/test_multigrid.py).
+Coarse operators are GALERKIN (RAP): because prolongation is the exact
+FEM-space injection and the fine operator assembles ONE shared elemental
+matrix on a uniform mesh, P^T K_f P has a closed-form ELEMENTAL matrix
+
+    K_c^el = sum_s  interp[s]^T  K_f^el  interp[s]
+
+(sum over the ratio^dim fine subcells of a coarse cell), computed
+recursively per level on host and dropped into the same
+StructuredElementOp/conv machinery as the fine operator. A rediscretized
+coarse operator (elem.kle_matrices on the coarse mesh) differs in the
+reduced-quadrature penalty terms (alpha_d=1e3 dominates K); that
+mismatch leaves a family of penalty-dominated modes uncorrected and
+caps the V-cycle contraction near ~0.94 — Galerkin removes it exactly
+(round-3 fix; contraction and CG iteration counts verified in
+tests/test_multigrid.py).
 """
 
 from dataclasses import dataclass
@@ -43,6 +53,39 @@ def _kron_all(mats):
     for m in mats[1:]:
         out = np.kron(out, m)
     return out
+
+
+def _patch_matrix(K_el, ngl, dim):
+    """Exact interior vertex-star patch stiffness R_p A R_p^T.
+
+    The vertex-star patch = the 2^dim elements sharing a mesh vertex,
+    (2*ngl-1)^dim nodes. Its exact stiffness (the restriction of the
+    ASSEMBLED operator to patch dofs) is assembled on a 4^dim-element
+    local grid — large enough that every element coupling into patch
+    nodes is present — and is translation-invariant on a uniform mesh,
+    so ONE matrix serves every interior vertex. Used (inverted) as the
+    additive-Schwarz smoother block: the penalty-robust alternative to
+    point Jacobi (alpha_d=1e3 grad-div penalties leave point smoothers
+    with O(1) V-cycle contraction; vertex-star patches are the standard
+    parameter-robust fix, cf. Schoeberl / Farrell-Mitchell-Wechsung).
+    """
+    P = ngl - 1
+    m = BoxMesh(nelem=(4,) * dim, lower=(0,) * dim, upper=(1,) * dim,
+                ngl=ngl)
+    n = m.n_nodes * dim
+    vd = np.asarray(m.cell_dofs(dim), dtype=np.int64)
+    K_full = np.zeros((n, n))
+    for e in range(m.n_cells):
+        idx = vd[e]
+        K_full[np.ix_(idx, idx)] += K_el
+    npl = 4 * P + 1
+    coords = np.stack(
+        np.meshgrid(*([np.arange(npl)] * dim), indexing="ij"), axis=-1
+    ).reshape(-1, dim)  # flat index = node id (grid order, x fastest)
+    sel = np.all((coords >= P) & (coords <= 3 * P), axis=1)
+    nodes = np.flatnonzero(sel)
+    dofs = (nodes[:, None] * dim + np.arange(dim)[None, :]).reshape(-1)
+    return K_full[np.ix_(dofs, dofs)]
 
 
 def _subcell_interp_matrices(ngl, dim, ratio=2):
@@ -93,10 +136,19 @@ class MGPreconditioner:
     def __init__(self, mesh: BoxMesh, elem: SpectralElement,
                  dtype=jnp.float64, pre_smooth: int = 3, post_smooth: int = 3,
                  coarsest_max_dofs: int = 1500,
-                 min_levels: int = 2, max_levels: int = 5):
+                 min_levels: int = 2, max_levels: int = 5,
+                 galerkin: bool = True, smoother: str = "patch",
+                 cheb_div: float = None):
         self.dim = mesh.dim
         self.dtype = dtype
         self.pre, self.post = pre_smooth, post_smooth
+        # Chebyshev window [lam_max/cheb_div, lam_max]: the patch-Schwarz
+        # preconditioned spectrum is wide-banded (boundary/overlap modes
+        # reach ~4x the interior band), so a wide window wins; Jacobi's
+        # spectrum is tight at the top and 4 is best (measured).
+        self.cheb_div = cheb_div if cheb_div is not None else (
+            16.0 if smoother == "patch" else 4.0
+        )
         self.elem = elem
 
         # max_levels=5: deeper V-cycle programs miscompile on the axon TPU
@@ -158,23 +210,48 @@ class MGPreconditioner:
                 )
             return interp_cache[r]
 
+        # per-level ELEMENTAL matrices: level 0 from the element, coarser
+        # levels by recursive Galerkin RAP through the subcell injections
+        # (host numpy, float64); falls back to rediscretization when
+        # galerkin=False (kept for A/B contraction measurements).
+        K_el0, _, _ = elem.kle_matrices(mesh.cell_corners[0])
+        K_els = [np.asarray(K_el0, dtype=np.float64)]
+        for r in factors:
+            I = interp_for(r)                      # (r^dim, nnode*d, nnode*d)
+            Kf = K_els[-1]
+            Kc = np.zeros_like(Kf)
+            for s in range(I.shape[0]):
+                Kc += I[s].T @ Kf @ I[s]
+            K_els.append(Kc)
+
         self.levels: List[_Level] = []
         for li, m in enumerate(meshes):
-            sysm = build_kle_system(m, elem, dtype)
+            from pynama_tpu.ops.structured import StructuredElementOp
+
+            if li == 0 or not galerkin:
+                sysm = build_kle_system(m, elem, dtype)
+                K_op, diag_flat = sysm.K, sysm.diag_K
+            else:
+                K_op = StructuredElementOp(
+                    A=jnp.asarray(K_els[li], dtype=dtype), ngl=m.ngl,
+                    nelem=tuple(m.nelem), npts=tuple(m.npts),
+                    k_in=m.dim, k_out=m.dim,
+                )
+                diag_flat = K_op.diagonal()
             gshape = tuple(reversed(m.npts)) + (m.dim,)
             dmask = np.ones(m.n_nodes * m.dim)
             dmask[m.node_dofs(m.boundary_nodes, m.dim)] = 0.0
             lvl = _Level(
                 mesh=m,
-                K=sysm.K,
+                K=K_op,
                 diag=jnp.asarray(
-                    np.asarray(sysm.diag_K).reshape(gshape), dtype=dtype
+                    np.asarray(diag_flat).reshape(gshape), dtype=dtype
                 ),
                 mask=jnp.asarray(dmask.reshape(gshape), dtype=dtype),
             )
-            if hasattr(sysm.K, "to_blocked"):
-                lvl.diag_b = sysm.K.to_blocked(lvl.diag)
-                lvl.mask_b = sysm.K.to_blocked(lvl.mask)
+            if hasattr(K_op, "to_blocked"):
+                lvl.diag_b = K_op.to_blocked(lvl.diag)
+                lvl.mask_b = K_op.to_blocked(lvl.mask)
             if li + 1 < len(meshes):
                 lvl.ratio = self.ratios[li]
                 lvl.interp_k = jnp.asarray(interp_for(lvl.ratio), dtype=dtype)
@@ -188,30 +265,64 @@ class MGPreconditioner:
                 )
             self.levels.append(lvl)
 
-        # per-level lambda_max(D^-1 K) estimates (power iteration) for the
-        # Chebyshev smoother — the penalty terms push it well above 2, so a
-        # fixed damped-Jacobi weight would diverge
+        # vertex-star additive-Schwarz smoother blocks: per-level patch
+        # stiffness inverse, lowered to a footprint-5 parity-blocked conv
+        # kernel (pynama_tpu/ops/conv.py build_patch_kernel)
+        self.smoother = smoother
+        self.patch_W = None
+        if smoother == "patch":
+            from pynama_tpu.ops.conv import build_patch_kernel
+
+            self.patch_W = []
+            for li, m in enumerate(meshes):
+                if galerkin or li == 0:
+                    K_lvl = K_els[li]
+                else:
+                    K_lvl = np.asarray(
+                        elem.kle_matrices(m.cell_corners[0])[0]
+                    )
+                Ap = _patch_matrix(K_lvl, mesh.ngl, self.dim)
+                self.patch_W.append(build_patch_kernel(
+                    np.linalg.inv(Ap), mesh.ngl, self.dim, self.dim, dtype
+                ))
+
+        # per-level lambda_max(M^-1 K) estimates (power iteration) for the
+        # Chebyshev smoother, M = the smoother preconditioner (patch
+        # Schwarz or pointwise Jacobi — the penalty terms push Jacobi's
+        # lambda_max well above 2, so a fixed damping weight would diverge)
         rng = np.random.default_rng(7)
-        self.lam_max = []
-        for lvl in self.levels:
+        self.lam_max = []           # for THIS preconditioner's smoother
+        self.lam_max_jacobi = []    # Jacobi window (distributed V-cycle
+        for li, lvl in enumerate(self.levels):  # still smooths pointwise)
             dinv = 1.0 / (lvl.mask * lvl.diag + (1.0 - lvl.mask))
+            jac = lambda v, dinv=dinv: dinv * v
+            if self.patch_W is not None:
+                pcs = [partial(self._patch_apply, li, lvl.mask,
+                               blocked=False), jac]
+            else:
+                pcs = [jac]
             x0 = jnp.asarray(
                 rng.normal(size=lvl.mask.shape), dtype=dtype
             ) * lvl.mask
 
-            @jax.jit
-            def power(x, dinv=dinv, lvl=lvl):
-                def body(_, carry):
-                    x, _ = carry
-                    y = dinv * self._masked_apply(lvl, lvl.mask, x)
-                    nrm = jnp.linalg.norm(y)
-                    return (y / nrm, nrm / jnp.linalg.norm(x) * 0 + nrm)
-                # track ratio of last step: run 24 normalized steps then one
-                x, _ = jax.lax.fori_loop(0, 24, body, (x, jnp.asarray(1.0, dtype)))
-                y = dinv * self._masked_apply(lvl, lvl.mask, x)
-                return jnp.linalg.norm(y) / jnp.linalg.norm(x)
+            lams = []
+            for pc in pcs:
+                @jax.jit
+                def power(x, pc=pc, lvl=lvl):
+                    def body(_, carry):
+                        x, _ = carry
+                        y = pc(self._masked_apply(lvl, lvl.mask, x))
+                        nrm = jnp.linalg.norm(y)
+                        return (y / nrm, nrm / jnp.linalg.norm(x) * 0 + nrm)
+                    # track last-step ratio: 24 normalized steps then one
+                    x, _ = jax.lax.fori_loop(0, 24, body,
+                                             (x, jnp.asarray(1.0, dtype)))
+                    y = pc(self._masked_apply(lvl, lvl.mask, x))
+                    return jnp.linalg.norm(y) / jnp.linalg.norm(x)
 
-            self.lam_max.append(1.05 * float(power(x0)))
+                lams.append(1.05 * float(power(x0)))
+            self.lam_max.append(lams[0])
+            self.lam_max_jacobi.append(lams[-1])
 
         # dense inverse on the coarsest level (masked operator). The
         # penalty terms make kappa(K) ~ 1e5-1e6, so a float32 inverse is
@@ -220,7 +331,10 @@ class MGPreconditioner:
         last = self.levels[-1]
         cm = last.mesh
         n = cm.n_nodes * cm.dim
-        K_el, _, _ = elem.kle_matrices(cm.cell_corners[0])  # float64 numpy
+        if galerkin:
+            K_el = K_els[len(self.levels) - 1]  # float64 numpy (RAP)
+        else:
+            K_el, _, _ = elem.kle_matrices(cm.cell_corners[0])
         vd = np.asarray(cm.cell_dofs(cm.dim), dtype=np.int64)
         K_full = np.zeros((n, n))
         for e in range(cm.n_cells):
@@ -231,6 +345,26 @@ class MGPreconditioner:
         self.coarse_inv = jnp.asarray(np.linalg.inv(K_masked), dtype=dtype)
 
     # ------------------------------------------------------------------
+    def _patch_apply(self, li, mask, r, blocked):
+        """Masked vertex-star Schwarz apply: mask * sum_p R^T B R (mask*r).
+
+        SPD by construction (sum of PSD patch terms, symmetric masking),
+        so it composes with the symmetric Chebyshev/V-cycle for CG.
+        """
+        from pynama_tpu.ops.conv import (conv_stencil_apply,
+                                         conv_stencil_apply_blocked)
+
+        lvl = self.levels[li]
+        W = self.patch_W[li]
+        npg = tuple(reversed(lvl.mesh.npts))
+        x = mask * r
+        if blocked:
+            y = conv_stencil_apply_blocked(x, W, (), lvl.mesh.ngl, npg,
+                                           self.dim)
+        else:
+            y = conv_stencil_apply(x, W, (), lvl.mesh.ngl, npg, self.dim)
+        return mask * y
+
     def _masked_apply(self, lvl: _Level, mask, x, corrections=True):
         if (x.ndim > 1 and hasattr(lvl.K, "apply_blocked")
                 and x.shape == lvl.K.blocked_shape_in):
@@ -331,23 +465,27 @@ class MGPreconditioner:
             """
             lvl, mask, diag = ldata(li)
             lmax = lam_max[li]
-            lmin = lmax / 4.0
+            lmin = lmax / self.cheb_div
             theta = 0.5 * (lmax + lmin)
             delta = 0.5 * (lmax - lmin)
-            dinv = 1.0 / (mask * diag + (1.0 - mask))
+            if self.patch_W is not None:
+                pc = partial(self._patch_apply, li, mask, blocked=blocked)
+            else:
+                dinv = 1.0 / (mask * diag + (1.0 - mask))
+                pc = lambda v: dinv * v
             corr = needs_corr[li]
             if x_is_zero:
                 x, r = jnp.zeros_like(b), b
             else:
                 r = b - self._masked_apply(lvl, mask, x, corr)
-            d = (1.0 / theta) * (dinv * r)
+            d = (1.0 / theta) * pc(r)
             sigma = theta / delta
             rho = 1.0 / sigma
             for _ in range(n):
                 x = x + d
                 r = r - self._masked_apply(lvl, mask, d, corr)
                 rho_new = 1.0 / (2.0 * sigma - rho)
-                d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+                d = (rho_new * rho) * d + (2.0 * rho_new / delta) * pc(r)
                 rho = rho_new
             return x + d
 

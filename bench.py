@@ -32,11 +32,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# float32 on TPU: the axon platform's float64 path hangs (verified), so the
-# on-chip benchmark runs f32 with an f32-reachable CG tolerance; the 1e-8
-# residual parity gate runs in float64 on CPU in the test suite.
-# Default size: largest that completes reliably with the current Jacobi-CG
-# solver; raise toward 360 (1M dofs) as the preconditioner work lands.
+# Precision: f64 WORKS on the axon TPU (K apply ~10x f32 — fine for the
+# one defect-residual apply per refinement round; avoid f64 V-cycles,
+# ~200x). Default bench dtype is f32; BENCH_REFINE=1 switches to f64
+# state + mixed-precision iterative refinement (kle.py solve_ir) for
+# TRUE 1e-8 residuals — the parity configuration.
 NELEM = int(os.environ.get("BENCH_NELEM", "384"))
 NGL = 3
 STEPS = int(os.environ.get("BENCH_STEPS", "3"))
@@ -182,7 +182,12 @@ def profile():
           f"  (x7 per BS5 step)", file=sys.stderr)
 
 
-def bench_ours():
+def bench_ours(refine=False):
+    """Per-step time; refine=True runs the PARITY configuration (f64
+    state + mixed-precision iterative refinement, TRUE 1e-8 residuals —
+    kle.py solve_ir) and appends an f64 residual self-check so the
+    recorded artifact carries its own verification.
+    """
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -194,8 +199,12 @@ def bench_ours():
     from pynama_tpu.cases.cavity import CavityProblem
     from pynama_tpu.solvers.rk import make_bs5_host_stepper
 
-    dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
-    cfg = cavity_config()
+    if refine:
+        dtype = jnp.float64
+        cfg = {**cavity_config(), "kle-refine": True, "kle-rtol": 1e-8}
+    else:
+        dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
+        cfg = cavity_config()
     if os.environ.get("BENCH_NO_MG") == "1":  # Jacobi-CG, comparable to
         cfg["multigrid"] = False              # the sharded path's solver
     p = CavityProblem(cfg, dtype=dtype).setup()
@@ -230,7 +239,32 @@ def bench_ours():
         w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
     jax.block_until_ready(w)
     elapsed = time.perf_counter() - t0
-    return elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform
+
+    true_res = None
+    if refine:
+        # f64 residual self-check: solve the FINAL-stage masked system at
+        # the benchmark's end-state vorticity through the same refinement
+        # path and report ITS true f64 relative residual (solve_ir forms
+        # the defect with f64 operator applies, so resnorm IS the true
+        # residual, not a recurrence estimate). Must be <= 1e-8 to claim
+        # parity with the reference LU.
+        from pynama_tpu.kle import solve_ir
+
+        mask = p._m("free_mask")
+        u_bc = p._solver_bc(t)
+        res = solve_ir(
+            p.system, p.system32, w, u_bc, mask,
+            mask.astype(jnp.float32), x0=p._aux_vel(vel),
+            rtol=1e-8, maxiter=p.kle_maxiter,
+            inner_rtol=p.kle_inner_rtol,
+            m_inv32=getattr(p, "_minv", None),
+        )
+        b = p.system.rhs(w, u_bc, mask)
+        bnorm = float(jnp.linalg.norm(b.reshape(-1)))
+        true_res = float(res.resnorm) / max(bnorm, 1e-300)
+        print(f"parity check: f64 true relative residual {true_res:.3e} "
+              f"(gate 1e-8, {int(res.iters)} inner iters)", file=sys.stderr)
+    return elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform, true_res
 
 
 def bench_sharded(n_dev):
@@ -418,12 +452,24 @@ def main():
     # the axon TPU worker occasionally needs a restart after a prior
     # kernel fault; one retry covers the flake
     try:
-        ours_ms, n_dofs, platform = bench_ours()
+        ours_ms, n_dofs, platform, _ = bench_ours()
     except Exception as e:  # pragma: no cover
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
         time.sleep(30)
-        ours_ms, n_dofs, platform = bench_ours()
+        ours_ms, n_dofs, platform, _ = bench_ours()
+
+    # PARITY row: f64 state + mixed-precision refinement, TRUE 1e-8
+    # residuals (the metric BASELINE.md defines the 10x target against —
+    # the reference's LU backsolves give f64 machine-precision residuals).
+    # BENCH_PARITY=0 skips it (e.g. quick f32-only runs).
+    parity_ms = parity_res = None
+    if os.environ.get("BENCH_PARITY", "1") == "1":
+        try:
+            parity_ms, _, _, parity_res = bench_ours(refine=True)
+        except Exception as e:  # pragma: no cover
+            print(f"parity bench failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
 
     baseline_ms = None
     cache = {}
@@ -443,12 +489,39 @@ def main():
     elif key in cache:
         baseline_ms = cache[key]["ms_per_step"]
 
-    out = {
-        "metric": f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_{platform}",
-        "value": round(ours_ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / ours_ms, 3) if baseline_ms else None,
-    }
+    # headline = the PARITY number when available (true f64-verified 1e-8
+    # residual, matching the reference LU); the f32 rtol-1e-5 row rides
+    # along in the ladder
+    if parity_ms is not None:
+        out = {
+            "metric": (f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_"
+                       f"{platform}_true1e-8"),
+            "value": round(parity_ms, 3),
+            "unit": "ms",
+            "vs_baseline": (round(baseline_ms / parity_ms, 3)
+                            if baseline_ms else None),
+            "true_f64_rel_residual": parity_res,
+            "ladder": {
+                "rtol1e-5_f32": {
+                    "ms": round(ours_ms, 3),
+                    "vs_baseline": (round(baseline_ms / ours_ms, 3)
+                                    if baseline_ms else None),
+                },
+                "true1e-8_f64ir": {
+                    "ms": round(parity_ms, 3),
+                    "vs_baseline": (round(baseline_ms / parity_ms, 3)
+                                    if baseline_ms else None),
+                },
+            },
+        }
+    else:
+        out = {
+            "metric": f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_{platform}",
+            "value": round(ours_ms, 3),
+            "unit": "ms",
+            "vs_baseline": (round(baseline_ms / ours_ms, 3)
+                            if baseline_ms else None),
+        }
     print(json.dumps(out))
 
 

@@ -81,6 +81,12 @@ class BaseProblem:
 
         self.kle_rtol = float(config.get("kle-rtol", 1e-10))
         self.kle_maxiter = int(config.get("kle-maxiter", 5000))
+        # KLE linear solver: "cg" (default; K is SPD after penalty +
+        # Dirichlet masking) or "gmres" (restarted, for non-SPD penalty
+        # experiments — the reference accepts any -ksp_type the same way,
+        # ksp_solver.py:17). GMRES stores an (m+1, n) Arnoldi basis, so
+        # it is meant for small/medium CPU studies, not the 1M-dof path.
+        self.kle_solver = str(config.get("kle-solver", "cg")).lower()
         # mixed-precision iterative refinement (kle.py solve_ir): f64
         # state + TRUE f64 residuals, f32 multigrid-CG inner solves —
         # the TPU route to the reference-LU 1e-8 residual parity
@@ -460,6 +466,12 @@ class FreeSlipProblem(BaseProblem):
                 m_inv32=getattr(self, "_minv", None),
             )
             return restore(res.x)
+        if self.kle_solver == "gmres":
+            return restore(self._gmres_kle(
+                vort, self._solver_bc(t), mask, x0,
+                rtol if rtol is not None else self.kle_rtol,
+                maxiter if maxiter is not None else self.kle_maxiter,
+            ))
         res = self.system.solve(
             vort,
             self._solver_bc(t),
@@ -471,6 +483,38 @@ class FreeSlipProblem(BaseProblem):
             m_inv=getattr(self, "_minv", None),
         )
         return restore(res.x)
+
+    def _gmres_kle(self, vort, u_bc, mask, x0, rtol, maxiter,
+                   m_inv=None):
+        """KLE solve via restarted GMRES (config 'kle-solver: gmres').
+
+        Same masked system and MG/Jacobi preconditioning as the CG path;
+        the Arnoldi basis works on raveled vectors, so this path targets
+        CPU / moderate sizes (the >=500-pts-per-axis TPU reshape hazard
+        and the (m+1, n) basis memory both rule out the 1M-dof path).
+        """
+        from pynama_tpu.solvers.gmres import gmres_solve
+
+        b = self.system.rhs(vort, u_bc, mask)
+        shape = b.shape
+        if x0 is None:
+            x0 = (1.0 - mask) * u_bc
+        else:
+            x0 = mask * x0 + (1.0 - mask) * u_bc
+        if m_inv is None:
+            m_inv = getattr(self, "_minv", None)
+        if m_inv is None:
+            jm = self.system.jacobi_inv(mask)
+            m_fn = lambda r: (jm * r.reshape(shape)).ravel()
+        else:
+            m_fn = lambda r: m_inv(r.reshape(shape)).ravel()
+        res = gmres_solve(
+            lambda v: self.system.apply_masked(
+                v.reshape(shape), mask).ravel(),
+            b.ravel(), x0=x0.ravel(), m_inv=m_fn,
+            rtol=rtol, maxiter=maxiter,
+        )
+        return res.x.reshape(shape)
 
     def kle_error(self, viscous_times, exact_fields):
         """||u - u_exact||_2 for KLE solves at t = tau^2/(4 nu).

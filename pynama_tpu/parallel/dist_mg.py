@@ -72,6 +72,8 @@ def build_dist_mg(mg, sharded):
     for lvl in mg.levels:
         if lvl.mesh.nelem[-1] % n_dev != 0:
             return None
+        if getattr(lvl, "ext_mesh", None) is not None:
+            return None  # padded (fictitious-domain) jumps stay single-chip
 
     from pynama_tpu.parallel.slab import GridDecomposition
 

@@ -128,6 +128,9 @@ class _Level:
     ratio: int = 2            # coarsening ratio toward the next level
     interp_k: Optional[jnp.ndarray] = None    # (r^dim, nnode*d, nnode*d)
     mult_inv: Optional[jnp.ndarray] = None    # (..grid.., d) 1/multiplicity
+    # extended FINE mesh for a padded (fictitious-domain) jump; transfers
+    # pad/crop between this grid and the real one. None = no pad.
+    ext_mesh: Optional[BoxMesh] = None
 
 
 class MGPreconditioner:
@@ -162,7 +165,15 @@ class MGPreconditioner:
                 ngl=mesh.ngl,
             ).n_nodes * mesh.dim
 
-        factors = []  # coarsening ratio per jump (fine -> coarse order)
+        # each jump is (ratio, ne_ext): the fine level is conceptually
+        # extended to ne_ext elements per axis (ghost band of < r elements
+        # at the upper side, Dirichlet-masked on the coarse side) before
+        # the ratio-r coarsening. ne_ext == ne for evenly-divisible sizes
+        # (the common case, zero overhead); prime-ish sizes (7, 359, ...)
+        # get a fictitious-domain jump instead of the round-2 Jacobi
+        # fallback. Transfers pad/crop at the jump (exact adjoints, so
+        # the V-cycle stays symmetric/SPD).
+        jumps = []  # fine -> coarse order
         ne = list(mesh.nelem)
         while True:
             # smallest admissible ratio first (gentler jumps converge
@@ -171,28 +182,52 @@ class MGPreconditioner:
                 if all(n % r == 0 and n >= r for n in ne):
                     break
             else:
-                break  # no ratio divides evenly: current ne is coarsest
-            factors.append(r)
-            ne = [n // r for n in ne]
+                if not all(n >= 3 for n in ne):
+                    break  # tiny: current ne is coarsest
+                r = 2  # pad to the next even count and halve
+            ne_ext = tuple(-(-n // r) * r for n in ne)
+            jumps.append((r, ne_ext))
+            ne = [n // r for n in ne_ext]
             if _dofs(ne) < coarsest_max_dofs:
                 break
-        # merge adjacent jumps (coarse end first, where transfers are
-        # cheap) until the level count fits max_levels
-        while len(factors) + 1 > max_levels:
-            for i in range(len(factors) - 2, -1, -1):
-                if factors[i] * factors[i + 1] <= 8:
-                    factors[i:i + 2] = [factors[i] * factors[i + 1]]
+        # merge adjacent PAD-FREE jumps (coarse end first, where transfers
+        # are cheap) until the level count fits max_levels
+        def _padfree(i):
+            ne_i = list(mesh.nelem)
+            for j in range(i):
+                ne_i = [n // jumps[j][0] for n in jumps[j][1]]
+            return tuple(jumps[i][1]) == (tuple(mesh.nelem) if i == 0
+                                          else tuple(ne_i))
+        while len(jumps) + 1 > max_levels:
+            for i in range(len(jumps) - 2, -1, -1):
+                if (jumps[i][0] * jumps[i + 1][0] <= 8
+                        and _padfree(i) and _padfree(i + 1)):
+                    jumps[i:i + 2] = [(jumps[i][0] * jumps[i + 1][0],
+                                       jumps[i][1])]
                     break
             else:
                 break
-        factors = factors[: max_levels - 1]
+        jumps = jumps[: max_levels - 1]
         meshes = [mesh]
-        for r in factors:
+        ext_meshes = []  # per jump: extended FINE mesh (None = no pad)
+        for r, ne_ext in jumps:
             prev = meshes[-1]
+            ha = [(prev.upper[a] - prev.lower[a]) / prev.nelem[a]
+                  for a in range(self.dim)]
+            upper_ext = tuple(prev.lower[a] + ne_ext[a] * ha[a]
+                              for a in range(self.dim))
+            if tuple(ne_ext) == tuple(prev.nelem):
+                ext_meshes.append(None)
+            else:
+                ext_meshes.append(BoxMesh(
+                    nelem=ne_ext, lower=prev.lower, upper=upper_ext,
+                    ngl=mesh.ngl,
+                ))
             meshes.append(BoxMesh(
-                nelem=tuple(n // r for n in prev.nelem), lower=mesh.lower,
-                upper=mesh.upper, ngl=mesh.ngl,
+                nelem=tuple(n // r for n in ne_ext), lower=prev.lower,
+                upper=upper_ext, ngl=mesh.ngl,
             ))
+        factors = [r for r, _ in jumps]
         self.ratios = factors
         self.usable = len(meshes) >= min_levels and (
             meshes[-1].n_nodes * mesh.dim <= coarsest_max_dofs * 2
@@ -241,6 +276,15 @@ class MGPreconditioner:
             gshape = tuple(reversed(m.npts)) + (m.dim,)
             dmask = np.ones(m.n_nodes * m.dim)
             dmask[m.node_dofs(m.boundary_nodes, m.dim)] = 0.0
+            if li > 0 and tuple(m.upper) != tuple(mesh.upper):
+                # coarse level of a padded jump: Dirichlet-mask every node
+                # in the ghost band beyond the ORIGINAL domain (its fine
+                # injection would be chopped by the fine mask anyway)
+                beyond = np.zeros(m.n_nodes, dtype=bool)
+                for a in range(self.dim):
+                    tol = 1e-9 * (m.upper[a] - m.lower[a])
+                    beyond |= m.coords[:, a] > mesh.upper[a] + tol
+                dmask[np.repeat(beyond, m.dim)] = 0.0
             lvl = _Level(
                 mesh=m,
                 K=K_op,
@@ -255,12 +299,17 @@ class MGPreconditioner:
             if li + 1 < len(meshes):
                 lvl.ratio = self.ratios[li]
                 lvl.interp_k = jnp.asarray(interp_for(lvl.ratio), dtype=dtype)
-                # fine-node multiplicity under the subcell scatter
-                counts = np.zeros(m.n_nodes)
-                c2n = np.asarray(m.cell2node)
+                lvl.ext_mesh = ext_meshes[li]
+                em = lvl.ext_mesh if lvl.ext_mesh is not None else m
+                # fine-node multiplicity under the subcell scatter (over
+                # the EXTENDED grid for padded jumps)
+                counts = np.zeros(em.n_nodes)
+                c2n = np.asarray(em.cell2node)
                 np.add.at(counts, c2n.reshape(-1), 1.0)
                 lvl.mult_inv = jnp.asarray(
-                    np.repeat(1.0 / counts, m.dim).reshape(gshape),
+                    np.repeat(1.0 / counts, m.dim).reshape(
+                        tuple(reversed(em.npts)) + (m.dim,)
+                    ),
                     dtype=dtype,
                 )
             self.levels.append(lvl)
@@ -388,20 +437,28 @@ class MGPreconditioner:
         return ncells, step, offset
 
     def _prolong(self, lvl: _Level, next_mesh, xc):
-        """Natural injection coarse -> fine (grid-shaped, scatter-free)."""
+        """Natural injection coarse -> fine (grid-shaped, scatter-free).
+
+        Padded jumps scatter onto the EXTENDED fine grid and crop to the
+        real one; _restrict zero-pads, the exact adjoint.
+        """
         from pynama_tpu.ops.structured import grid_gather, grid_scatter_add
 
         d = self.dim
         N = self.elem.ngl
+        em = lvl.ext_mesh if lvl.ext_mesh is not None else lvl.mesh
         xce = grid_gather(xc, N, tuple(next_mesh.nelem), N - 1,
                           (0,) * d)  # (ncc, nnode*d)
-        fine = jnp.zeros(tuple(reversed(lvl.mesh.npts)) + (d,),
-                         dtype=xc.dtype)
+        fine = jnp.zeros(tuple(reversed(em.npts)) + (d,), dtype=xc.dtype)
         for s in range(lvl.ratio**d):
             vals = xce @ lvl.interp_k[s].T
             ncells, step, offset = self._subcell_params(next_mesh, s, lvl.ratio)
             fine = grid_scatter_add(fine, vals, N, ncells, step, offset)
-        return fine * lvl.mult_inv
+        fine = fine * lvl.mult_inv
+        if em is not lvl.mesh:
+            fine = fine[tuple(slice(0, n) for n in reversed(lvl.mesh.npts))
+                        + (slice(None),)]
+        return fine
 
     def _restrict(self, lvl: _Level, next_mesh, rf):
         """Exact adjoint of _prolong: fine residual -> coarse residual."""
@@ -409,6 +466,13 @@ class MGPreconditioner:
 
         d = self.dim
         N = self.elem.ngl
+        em = lvl.ext_mesh if lvl.ext_mesh is not None else lvl.mesh
+        if em is not lvl.mesh:
+            pads = tuple(
+                (0, en - rn) for en, rn in zip(reversed(em.npts),
+                                               reversed(lvl.mesh.npts))
+            ) + ((0, 0),)
+            rf = jnp.pad(rf, pads)
         rfm = rf * lvl.mult_inv
         rc = jnp.zeros(tuple(reversed(next_mesh.npts)) + (d,),
                        dtype=rf.dtype)

@@ -40,3 +40,23 @@ def test_gmres_preconditioned_kle():
     xc = cg_solve(A, b, m_inv=sys_.jacobi_inv(mask), rtol=1e-12,
                   maxiter=5000).x
     np.testing.assert_allclose(np.asarray(xg), np.asarray(xc), atol=1e-7)
+
+
+def test_kle_solver_gmres_config_matches_cg():
+    """'kle-solver: gmres' routes FreeSlip KLE solves through restarted
+    GMRES with the same masked system/preconditioning; uniform flow must
+    still reproduce the exact constant field (reference test_solver.py:26
+    tolerance class)."""
+    import numpy as np
+
+    from pynama_tpu.cases.uniform import UniformFlowProblem
+    from tests.test_cases import make_config
+
+    cfg = make_config((8, 8), 3)
+    cfg["kle-solver"] = "gmres"
+    p = UniformFlowProblem(cfg).setup()
+    assert p.kle_solver == "gmres"
+    u = p.solve_kle(0.0, p.initial_vorticity(), rtol=1e-12, maxiter=2000)
+    vel_e, _ = p.exact_fields(0.0)
+    diff = np.asarray(u).reshape(-1) - np.asarray(vel_e).reshape(-1)
+    assert float(np.linalg.norm(diff)) < 1e-10

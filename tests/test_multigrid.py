@@ -103,11 +103,43 @@ def test_mg_non_power_of_two_meshes(nelem):
     assert float(res.resnorm) <= 1.01e-10 * bnorm
 
 
-def test_unusable_on_odd_mesh_falls_back():
-    mesh = BoxMesh(nelem=(7, 7), lower=(0, 0), upper=(1, 1), ngl=3)
-    elem = SpectralElement(3, 2)
+@pytest.mark.parametrize("nelem", [7, 23])
+def test_mg_prime_nelem_padded_hierarchy(nelem):
+    """Prime element counts get a fictitious-domain (padded) hierarchy
+    instead of the round-2 Jacobi fallback: the fine level is extended by
+    a Dirichlet-masked ghost band to the next even count before each
+    ratio-2 jump. The padded V-cycle must stay a symmetric SPD
+    preconditioner and produce the same solution as Jacobi-CG."""
+    mesh, elem, sys_, mask = setup(nelem)
     mg = MGPreconditioner(mesh, elem)
-    assert not mg.usable
+    assert mg.usable, f"no padded hierarchy for nelem={nelem}"
+    assert any(l.ext_mesh is not None for l in mg.levels[:-1])
+    b, x0 = tg_problem(mesh, sys_, mask)
+    A = partial(sys_.apply_masked, free_mask=mask)
+    minv = mg.build(mask)
+    res = cg_solve(A, b, x0=x0, m_inv=minv, rtol=1e-10, maxiter=400)
+    assert int(res.iters) < 120, int(res.iters)
+    rj = cg_solve(A, b, x0=x0, m_inv=sys_.jacobi_inv(mask), rtol=1e-11,
+                  maxiter=30000)
+    err = float(jnp.linalg.norm(res.x - rj.x) / jnp.linalg.norm(rj.x))
+    assert err < 1e-7, err
+
+
+def test_mg_padded_transfer_adjointness():
+    """Pad/crop transfers at a fictitious-domain jump must stay exact
+    adjoints (V-cycle symmetry -> CG-safety)."""
+    mesh, elem, sys_, mask = setup(7)
+    mg = MGPreconditioner(mesh, elem)
+    lvl, cm = mg.levels[0], mg.levels[1].mesh
+    assert lvl.ext_mesh is not None
+    rng = np.random.default_rng(1)
+    cg_ = (cm.npts[1], cm.npts[0], 2)
+    fg_ = (mesh.npts[1], mesh.npts[0], 2)
+    a = jnp.asarray(rng.normal(size=cg_))
+    bb = jnp.asarray(rng.normal(size=fg_))
+    lhs = float(jnp.sum(mg._prolong(lvl, cm, a) * bb))
+    rhs = float(jnp.sum(a * mg._restrict(lvl, cm, bb)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
 
 
 def test_problem_uses_mg_and_stays_accurate():

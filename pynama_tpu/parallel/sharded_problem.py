@@ -451,6 +451,43 @@ class ShardedNSProblem:
         return f
 
     # ------------------------------------------------------------------
+    def run_staged(self, max_steps=None, callback=None, kle_rtol=None,
+                   kle_maxiter=None):
+        """Distributed transient run, host-staged (production scale).
+
+        build_step()'s fully-inlined program is compile-prohibitive at
+        ~1M dofs (the same XLA limit the single-chip bench hits); this
+        mirrors BaseProblem.run with the BS5(4) stage loop + dt
+        controller on host and ONE compiled distributed RHS program
+        (build_rhs) dispatched 7x per attempt. Returns (w_stacked, t, n).
+        """
+        from pynama_tpu.solvers.rk import make_bs5_host_stepper
+
+        p = self.p
+        rhs_fn = self.build_rhs(kle_rtol, kle_maxiter)
+
+        def rhs(t, w, aux):
+            return rhs_fn(w, aux, t)
+
+        step = make_bs5_host_stepper(rhs, atol=p.ts_atol, rtol=p.ts_rtol,
+                                     max_dt=p.ts_max_dt)
+        w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
+        vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
+        t = jnp.asarray(p.t_start, dtype=p.dtype)
+        dt = jnp.asarray(p.dt0, dtype=p.dtype)
+        t_end = jnp.asarray(p.t_end, dtype=p.dtype)
+        f1, vel = rhs(t, w, vel)
+
+        n = 0
+        steps = max_steps if max_steps is not None else p.max_steps
+        while float(t) < float(t_end) - 1e-14 and n < steps:
+            res = step(w, t, dt, vel, f1, t_end)
+            w, t, dt, vel, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
+            n += 1
+            if callback is not None:
+                callback(n, float(t), float(dt), w, vel)
+        return w, float(t), n
+
     def run(self, max_steps=None, callback=None):
         """Distributed transient run (host loop over jitted SPMD steps)."""
         p = self.p

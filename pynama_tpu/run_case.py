@@ -135,6 +135,70 @@ def time_solving(args, config):
     return metrics
 
 
+def time_solving_sharded(args, config):
+    """Distributed production run over an N-device slab mesh (-sharded N).
+
+    The TPU-native analogue of the reference's `mpirun -n N python
+    src/run_case.py ...` (makefile:2-7): the mesh is slab-partitioned
+    over a jax.sharding device mesh, KLE solves run inside shard_map
+    (halo exchange + psum dots + distributed multigrid when the
+    hierarchy divides), and the BS5(4) stage loop is host-staged.
+    """
+    import jax
+
+    from pynama_tpu.parallel.sharded_problem import ShardedNSProblem
+
+    n_dev = int(args.sharded)
+    if len(jax.devices()) < n_dev:
+        raise SystemExit(
+            f"-sharded {n_dev}: only {len(jax.devices())} devices visible. "
+            f"For virtual CPU devices set JAX_PLATFORMS=cpu and "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n_dev}"
+        )
+    p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
+                     dtype=args.dtype).setup()
+    sp = ShardedNSProblem(p, n_dev)
+    logger.info("sharded run: %d devices, %d nodes (%d vel dofs), "
+                "distributed multigrid %s", n_dev, p.mesh.n_nodes,
+                p.mesh.n_nodes * p.dim,
+                "active" if sp._dmg is not None else "OFF (Jacobi-CG)")
+    save_dir = config.get("save-dir", f"run-{args.case}")
+
+    t0 = time.perf_counter()
+    step_times = []
+    last = [t0]
+
+    def cb(step, t, dt, w, vel):
+        now = time.perf_counter()
+        step_times.append(now - last[0])
+        last[0] = now
+        logger.info("Converged: Step %4d | Time %.4e | Increment Time: "
+                    "%.2e | %.1f s", step, t, dt, step_times[-1])
+
+    w, t, n = sp.run_staged(callback=cb)
+    elapsed = time.perf_counter() - t0
+    w_global = sp.unshard(w, p.dim_w)
+    assert np.isfinite(w_global).all(), "non-finite vorticity"
+    logger.info("Total Time: %.3f s (%d steps to t=%.4f)", elapsed, n, t)
+
+    metrics = {
+        "steps": n, "final_time": t, "elapsed_s": elapsed,
+        "devices": n_dev, "n_dofs": p.mesh.n_nodes * p.dim,
+        "platform": jax.devices()[0].platform,
+        "distributed_multigrid": sp._dmg is not None,
+        "s_per_step_steady": (float(np.median(step_times[1:]))
+                              if len(step_times) > 1 else None),
+        "vort_norm": float(np.linalg.norm(w_global)),
+    }
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir,
+                           f"{args.case}-sharded{n_dev}-metrics.yaml"),
+              "w") as f:
+        yaml.safe_dump(metrics, f)
+    print(json.dumps(metrics))
+    return metrics
+
+
 def chart_kle(args, config):
     """p- AND h-refinement KLE convergence charts.
 
@@ -258,6 +322,13 @@ def main(argv=None):
     ap.add_argument("-max-ngl", type=int, default=9)
     ap.add_argument("-resume", default=None, help="checkpoint to resume from")
     ap.add_argument("-dtype", default=None, choices=["float32", "float64"])
+    ap.add_argument("-sharded", type=int, default=None, metavar="N",
+                    help="distribute the production run over an N-device "
+                         "slab mesh (shard_map + halo exchange + psum; "
+                         "the analogue of the reference's mpirun -n N, "
+                         "makefile:2-7). Needs N (virtual or real) "
+                         "devices and N | nelem on every MG level's "
+                         "last axis for distributed multigrid")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -296,6 +367,8 @@ def main(argv=None):
         chart_operators(args, config)
     elif args.test == "chartkle":
         chart_kle_transient(args, config)
+    elif args.sharded:
+        time_solving_sharded(args, config)
     else:
         time_solving(args, config)
 

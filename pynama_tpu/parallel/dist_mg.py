@@ -52,6 +52,15 @@ class _DistMGMeta:
     rows_loc: List[int]        # node planes per device per level
     pre: int = 3
     post: int = 3
+    # vertex-star patch smoothing (levels where it is active); lam_max
+    # then holds the PATCH-preconditioned spectrum bound for that level
+    use_patch: List[bool] = field(default_factory=list)
+    cheb_div: List[float] = field(default_factory=list)
+    # coarse-grid agglomeration: the distributed hierarchy covers only
+    # the leading slab-divisible levels; the coarser tail runs as a
+    # replicated single-chip V-cycle after an all_gather (repl["tail"])
+    aggl: bool = False
+    tail_npts: Optional[tuple] = None  # agglomeration level, MESH order
 
 
 def build_dist_mg(mg, sharded):
@@ -69,25 +78,57 @@ def build_dist_mg(mg, sharded):
     N = mg.elem.ngl
     dtype = sharded.p.dtype
 
-    for lvl in mg.levels:
+    # distributed prefix: levels whose last mesh axis the slab divides,
+    # cut at the first padded (fictitious-domain) jump — the transfer
+    # across it stays single-chip. Everything coarser runs agglomerated:
+    # all_gather the residual at level m-1 and apply the replicated
+    # single-chip tail V-cycle (identical arithmetic to single-chip MG;
+    # the standard coarse-grid agglomeration of parallel multigrid).
+    nlev_full = len(mg.levels)
+    m = 0
+    for li, lvl in enumerate(mg.levels):
         if lvl.mesh.nelem[-1] % n_dev != 0:
-            return None
-        if getattr(lvl, "ext_mesh", None) is not None:
-            return None  # padded (fictitious-domain) jumps stay single-chip
+            break
+        m = li + 1
+        if li < nlev_full - 1 and getattr(lvl, "ext_mesh", None) is not None:
+            break  # padded jump: level li is the last distributed one
+    if m == 0:
+        return None
+    aggl = m < nlev_full
 
     from pynama_tpu.parallel.slab import GridDecomposition
+
+    # per-level smoother: vertex-star patch Schwarz (the single-chip
+    # round-3 contraction fix) wherever the blocked layout is active, the
+    # patch kernels exist, and every device owns >= 2 element slabs (the
+    # footprint-5 margin exchange reaches one neighbor each side, so a
+    # device must cover the 2-block write radius); pointwise Jacobi
+    # elsewhere. lam_max follows the smoother (Chebyshev window).
+    lam_jac = list(getattr(mg, "lam_max_jacobi", mg.lam_max))
+    patch_W = getattr(mg, "patch_W", None)
+    use_patch, lam, cdiv = [], [], []
+    for li, lvl in enumerate(mg.levels[:m]):
+        ne_loc_last = lvl.mesh.nelem[-1] // n_dev
+        ok = (sharded.blocked and patch_W is not None
+              and ne_loc_last >= 2)
+        use_patch.append(ok)
+        lam.append(mg.lam_max[li] if ok else lam_jac[li])
+        cdiv.append(mg.cheb_div if ok else 4.0)
 
     meta = _DistMGMeta(
         ngl=N, dim=dim, blocked=sharded.blocked,
         axis_name=sharded.axis_names[0], n_dev=n_dev,
-        lam_max=list(getattr(mg, "lam_max_jacobi", mg.lam_max)),
-        ratios=[l.ratio for l in mg.levels[:-1]],
+        lam_max=lam,
+        ratios=[l.ratio for l in mg.levels[:m - 1]],
         local_nelem=[], local_npts=[], rows_loc=[],
         pre=mg.pre, post=mg.post,
+        use_patch=use_patch, cheb_div=cdiv,
+        aggl=aggl,
+        tail_npts=tuple(mg.levels[m - 1].mesh.npts) if aggl else None,
     )
     stacked = []
     repl = []
-    for li, lvl in enumerate(mg.levels):
+    for li, lvl in enumerate(mg.levels[:m]):
         dec = GridDecomposition(lvl.mesh, (n_dev,))
         meta.local_nelem.append(dec.local_nelem)
         meta.local_npts.append(dec.local_npts)
@@ -111,8 +152,25 @@ def build_dist_mg(mg, sharded):
             "diag": to_solver(lvl.diag),
             "mask": to_solver(lvl.mask),
         }
+        if use_patch[li]:
+            from pynama_tpu.ops.conv import to_blocked
+
+            # input-ownership weights for the linear decomposition of the
+            # patch conv: interior slab-interface node planes carry 0.5 on
+            # BOTH owners, so sum_d x_owned_d == x_global exactly
+            half = np.ones((n_dev,) + tuple(reversed(dec.local_npts))
+                           + (dim,))
+            if n_dev > 1:
+                half[:-1, -1] = 0.5  # upper interface plane (grid axis 0)
+                half[1:, 0] = 0.5    # lower interface plane
+            st["half"] = jnp.stack([
+                to_blocked(jnp.asarray(half[d], dtype=dtype), N)
+                for d in range(n_dev)
+            ]) if sharded.blocked else jnp.asarray(half, dtype=dtype)
         rp = {"A": jnp.asarray(lvl.K.A, dtype=dtype)}
-        if li + 1 < len(mg.levels):
+        if use_patch[li]:
+            rp["patch_W"] = jnp.asarray(patch_W[li], dtype=dtype)
+        if li + 1 < m:
             st["mult"] = jnp.asarray(loc_grid(lvl.mult_inv),
                                      dtype=dtype)  # grid layout
             if sharded.blocked:
@@ -125,8 +183,56 @@ def build_dist_mg(mg, sharded):
             rp["interp"] = lvl.interp_k
         stacked.append(st)
         repl.append(rp)
-    repl_top = {"levels": repl, "coarse_inv": mg.coarse_inv}
+    repl_top = {"levels": repl}
+    if aggl:
+        # replicated tail V-cycle over levels [m-1:] (same arithmetic as
+        # the single-chip preconditioner from that level down)
+        repl_top["tail"] = mg.build(
+            fine_mask=None if sharded.blocked else mg.levels[m - 1].mask,
+            start_level=m - 1,
+        )
+    else:
+        repl_top["coarse_inv"] = mg.coarse_inv
     return meta, stacked, repl_top
+
+
+def dist_patch_apply(W, half, mask, r, axis, n_dev):
+    """Distributed masked vertex-star Schwarz: sum_p R_p^T B R_p.
+
+    The single-chip footprint-5 blocked conv (ops/conv.py
+    build_patch_kernel) decomposed linearly over slabs: each device owns
+    a share of the input (interface node planes carry weight 0.5 on BOTH
+    owners, so the owned shares sum to the global vector), convolves it
+    over its slab EXTENDED by the 2-block write radius, and the ghost
+    margins are exchanged and summed — sum_d conv(x_d) == conv(x)
+    exactly. Mirrors MGPreconditioner._patch_apply
+    (solvers/multigrid.py) on the slab decomposition.
+    """
+    from pynama_tpu.ops.conv import conv_blocked
+
+    Q = (W.shape[0] - 1) // 2  # 2 for the vertex-star footprint 5
+    xo = mask * r * half
+    B0 = xo.shape[0]
+    pads = ((Q, Q),) + ((0, 0),) * (xo.ndim - 1)
+    y_ext = conv_blocked(jnp.pad(xo, pads), W, jax.lax.Precision.HIGHEST)
+    y = y_ext[Q:B0 + Q]
+    if n_dev > 1:
+        # margin exchange: [ghost-2, ghost-1, block0] down, [last block,
+        # ghost+1, ghost+2] up; block alignment: my block 0 == lower
+        # neighbor's LAST block (they are the same global element block)
+        m = Q + 1
+        from_above = jax.lax.ppermute(
+            y_ext[:m], axis, [(i, i - 1) for i in range(1, n_dev)]
+        )
+        from_below = jax.lax.ppermute(
+            y_ext[B0 + Q - 1:], axis,
+            [(i, i + 1) for i in range(n_dev - 1)]
+        )
+        y = y.at[B0 - m:].add(from_above)
+        y = y.at[:m].add(from_below)
+    # mask re-zeroes pad slots (the received neighbor margins carry the
+    # neighbor's real values in slots that are pad on this device)
+    return mask * y
 
 
 def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
@@ -166,25 +272,34 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
         mask = fine_mask if li == 0 else lvl["mask"]
         return mask, lvl["diag"]
 
+    def patch_apply(li, mask, r):
+        lvl = stacked_local[li]
+        W = repl["levels"][li]["patch_W"]
+        return dist_patch_apply(W, lvl["half"], mask, r, axis, n_dev)
+
     def smooth(li, x, b, n, x_is_zero=False):
         mask, diag = ldata(li)
         lmax = meta.lam_max[li]
-        lmin = lmax / 4.0
+        lmin = lmax / meta.cheb_div[li]
         theta = 0.5 * (lmax + lmin)
         delta = 0.5 * (lmax - lmin)
-        dinv = 1.0 / (mask * diag + (1.0 - mask))
+        if meta.use_patch[li]:
+            pc = lambda v: patch_apply(li, mask, v)
+        else:
+            dinv = 1.0 / (mask * diag + (1.0 - mask))
+            pc = lambda v: dinv * v
         if x_is_zero:
             x, r = jnp.zeros_like(b), b
         else:
             r = b - masked_apply(li, mask, x)
-        d = (1.0 / theta) * (dinv * r)
+        d = (1.0 / theta) * pc(r)
         sigma = theta / delta
         rho = 1.0 / sigma
         for _ in range(n):
             x = x + d
             r = r - masked_apply(li, mask, d)
             rho_new = 1.0 / (2.0 * sigma - rho)
-            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * r)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * pc(r)
             rho = rho_new
         return x + d
 
@@ -250,12 +365,28 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
         return fineb * (lvl["mult_b"] if blocked else lvl["mult"])
 
     def coarse_solve(r):
-        """Replicated dense solve: all_gather -> de-dup -> GEMV -> slice."""
+        """Replicated coarse branch: all_gather -> de-dup -> solve -> slice.
+
+        The solve is either the dense masked inverse (full hierarchy
+        distributed) or the single-chip tail V-cycle over the remaining
+        levels (coarse-grid agglomeration, meta.aggl) — each device
+        redundantly computes the identical global coarse correction.
+        """
         rg = to_grid(nlev - 1, r)  # (rows_loc, ..., dim)
         gathered = jax.lax.all_gather(rg, axis)  # (n_dev, rows_loc, ..., dim)
         parts = [gathered[0]] + [gathered[d][1:] for d in range(1, n_dev)]
         full = jnp.concatenate(parts, axis=0)
-        x = (repl["coarse_inv"] @ full.reshape(-1)).reshape(full.shape)
+        if meta.aggl:
+            if blocked:
+                from pynama_tpu.ops.conv import from_blocked, to_blocked
+
+                xg = to_blocked(full, N)
+                xg = repl["tail"](xg)
+                x = from_blocked(xg, N, tuple(reversed(meta.tail_npts)))
+            else:
+                x = repl["tail"](full)
+        else:
+            x = (repl["coarse_inv"] @ full.reshape(-1)).reshape(full.shape)
         rows = meta.rows_loc[nlev - 1]
         row0 = jax.lax.axis_index(axis) * (rows - 1)
         xl = jax.lax.dynamic_slice_in_dim(x, row0, rows, axis=0)

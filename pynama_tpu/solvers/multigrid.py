@@ -485,7 +485,7 @@ class MGPreconditioner:
         return rc
 
     # ------------------------------------------------------------------
-    def build(self, fine_mask) -> Callable:
+    def build(self, fine_mask=None, start_level: int = 0) -> Callable:
         """Return M^{-1}(r) closing over the fine-level free-dof mask.
 
         Layout follows the mask: a parity-blocked fine_mask produces a
@@ -493,11 +493,21 @@ class MGPreconditioner:
         TPU hot path); a grid-shaped mask reproduces the grid V-cycle.
         Transfers convert at level boundaries (blocked -> grid -> blocked)
         — they run once per level per cycle vs ~8 smoother applies.
+
+        start_level > 0 builds the TAIL V-cycle over levels
+        [start_level:] with that level's own Dirichlet mask (fine_mask
+        defaults to its blocked mask) — the replicated coarse branch of
+        the distributed coarse-grid agglomeration
+        (pynama_tpu/parallel/dist_mg.py).
         """
         assert self.usable
-        levels = self.levels
+        levels = self.levels[start_level:]
+        if fine_mask is None:
+            fine_mask = (levels[0].mask_b if levels[0].mask_b is not None
+                         else levels[0].mask)
         nlev = len(levels)
-        lam_max = self.lam_max
+        lam_max = self.lam_max[start_level:]
+        patch_off = start_level
         blocked = (levels[0].mask_b is not None
                    and fine_mask.shape == levels[0].mask_b.shape)
         from pynama_tpu.ops.conv import mask_frees_boundary
@@ -533,7 +543,8 @@ class MGPreconditioner:
             theta = 0.5 * (lmax + lmin)
             delta = 0.5 * (lmax - lmin)
             if self.patch_W is not None:
-                pc = partial(self._patch_apply, li, mask, blocked=blocked)
+                pc = partial(self._patch_apply, patch_off + li, mask,
+                             blocked=blocked)
             else:
                 dinv = 1.0 / (mask * diag + (1.0 - mask))
                 pc = lambda v: dinv * v

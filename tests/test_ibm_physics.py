@@ -21,6 +21,9 @@ documented blockage (+~10%) and coarse-delta effective-diameter bias.
 Run with PYNAMA_RUN_SLOW=1 (about an hour on CPU).
 """
 
+import json
+import os
+
 import numpy as np
 import pytest
 
@@ -28,16 +31,33 @@ from pynama_tpu.cases.immersed import ImmersedBoundaryProblem
 
 pytestmark = pytest.mark.slow
 
+# measured values land here so CI runs leave a committed record
+# (VERDICT r2: "run and record the IBM regressions")
+METRICS_PATH = os.path.join(os.path.dirname(__file__), "..",
+                            "run-artifacts", "ibm_regression.json")
 
-def _cfg(max_dt=None):
+
+def _record(key, values):
+    path = os.path.abspath(METRICS_PATH)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[key] = values
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+
+
+def _cfg(max_dt=None, nelem=(144, 96), lower=(-6, -6), upper=(12, 6)):
     ts = {"start-time": 0, "end-time": 40.0, "max-steps": 500, "dt0": 0.01}
     if max_dt:
         ts["max-dt"] = max_dt
     return {
         "name": "cyl-re40-regression",
         "material-properties": {"rho": 1.0, "mu": 0.025},
-        "domain": {"ngl": 3, "box-mesh": {"nelem": [144, 96],
-                   "lower": [-6, -6], "upper": [12, 6]}},
+        "domain": {"ngl": 3, "box-mesh": {"nelem": list(nelem),
+                   "lower": list(lower), "upper": list(upper)}},
         "boundary-conditions": {"constant": {"re": 40, "direction": 0,
                                              "longRef": "1"}},
         "bodies": [{"type": "circle", "vel": "static", "radius": 0.5,
@@ -47,15 +67,16 @@ def _cfg(max_dt=None):
     }
 
 
-def test_static_cylinder_re40_drag(tmp_path):
-    ck = str(tmp_path / "cyl_ck.npz")
-    p = ImmersedBoundaryProblem(_cfg()).setup()
+def _drag_protocol(tmp_path, tag, **geom):
+    """Steady-state drag via two-dt Richardson extrapolation (module doc)."""
+    ck = str(tmp_path / f"cyl_ck_{tag}.npz")
+    p = ImmersedBoundaryProblem(_cfg(**geom)).setup()
     assert abs(p.u_ref - 1.0) < 1e-12 and abs(p.re - 40.0) < 1e-9
     _, t, n = p.run(max_steps=180, checkpoint_path=ck, checkpoint_every=10)
     assert t > 12.0  # past the startup transient (steady wake, no shedding)
 
     def segment(max_dt):
-        ps = ImmersedBoundaryProblem(_cfg(max_dt)).setup()
+        ps = ImmersedBoundaryProblem(_cfg(max_dt, **geom)).setup()
         ps.run(max_steps=n + 14, resume_from=ck)
         cds = [c[0] for c in ps.cd_raw_history]
         cls = [c[0] for c in ps.cl_raw_history]
@@ -67,9 +88,39 @@ def test_static_cylinder_re40_drag(tmp_path):
     assert abs(dt_a - 0.06) < 1e-6 and abs(dt_b - 0.03) < 1e-6
     cd_phys = (cd_a * dt_a - cd_b * dt_b) / (dt_a - dt_b)
     cl_phys = (cl_a * dt_a - cl_b * dt_b) / (dt_a - dt_b)
-    # literature 1.5-1.6 + documented blockage/resolution bias
-    assert 1.4 < cd_phys < 2.0, (cd_a, cd_b, cd_phys)
+    _record(tag, {"cd_raw_dt060": cd_a, "cd_raw_dt030": cd_b,
+                  "cd_phys": cd_phys, "cl_phys": cl_phys,
+                  "nelem": list(geom.get("nelem", (144, 96))),
+                  "lower": list(geom.get("lower", (-6, -6))),
+                  "upper": list(geom.get("upper", (12, 6)))})
+    return cd_phys, cl_phys
+
+
+def test_static_cylinder_re40_drag(tmp_path):
+    cd_phys, cl_phys = _drag_protocol(tmp_path, "re40_blockage8.3")
+    # literature 1.5-1.6 unbounded; this 8.3%-blockage D/h=16 config
+    # measures 1.86 (recorded r2/r3) — the window is the measured value
+    # +-0.15 protocol scatter, within the documented blockage bias
+    assert 1.70 < cd_phys < 2.0, cd_phys
     # symmetric steady wake at Re=40: physical lift ~ 0
+    assert abs(cl_phys) < 0.1, cl_phys
+
+
+def test_static_cylinder_re40_drag_big_domain(tmp_path):
+    """Domain-size refinement point: same h, double domain height.
+
+    Blockage D/H drops 8.3% -> 4.2%; literature blockage corrections
+    (Maskell-type) predict the steady Re=40 drag falls by roughly the
+    blockage delta (~5-10%) toward the unbounded 1.5-1.6. This pins the
+    bias attribution in test_static_cylinder_re40_drag to geometry
+    rather than the coupling scheme.
+    """
+    cd_phys, cl_phys = _drag_protocol(
+        tmp_path, "re40_blockage4.2", nelem=(144, 192),
+        lower=(-6, -12), upper=(12, 12),
+    )
+    assert cd_phys < 1.85  # strictly below the 8.3%-blockage value
+    assert 1.45 < cd_phys < 1.90, cd_phys
     assert abs(cl_phys) < 0.1, cl_phys
 
 
@@ -122,5 +173,6 @@ def test_cylinder_re100_strouhal():
     i = int(np.argmax(amp[1:]) + 1)
     st = float(freqs[i]) * 1.0 / p.u_ref
     prominence = float(amp[i] / np.median(amp[1:]))
+    _record("re100_strouhal", {"st": st, "prominence": prominence})
     assert prominence > 10.0, prominence
     assert 0.15 < st < 0.19, st

@@ -54,6 +54,9 @@ def cavity_config():
     if os.environ.get("BENCH_REFINE") == "1":
         # f64 state + mixed-precision refinement: TRUE 1e-8 residuals
         cfg_extra["kle-refine"] = True
+    if os.environ.get("BENCH_KLE_INNER_RTOL"):
+        cfg_extra["kle-inner-rtol"] = float(
+            os.environ["BENCH_KLE_INNER_RTOL"])
     return {
         "multigrid": mg,
         **cfg_extra,

@@ -70,7 +70,24 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             raise ValueError("IBM case needs a 'bodies' config section")
         self.body = BodiesContainer(bodies_cfg).create(self.h)
         self.body.set_vel_ref(self.u_ref)
-        self.coupling = IBMCoupling(self.mesh, self.body.dl, dtype=self.dtype)
+        if self.gmsh_file:
+            # static bodies on locally-uniform gmsh regions: host-side
+            # window precompute (parity: immersed_boundary.py:55-58 runs
+            # IBM on DMPlex meshes with 'h-min' as the IBM spacing)
+            from pynama_tpu.ibm.coupling import UnstructuredIBMCoupling
+
+            if self.body.is_moving:
+                raise NotImplementedError(
+                    "moving IBM bodies need the on-device box-mesh "
+                    "window path; gmsh domains support static bodies"
+                )
+            self.coupling = UnstructuredIBMCoupling(
+                self.mesh, self.body.dl, dtype=self.dtype, h_min=self.h
+            )
+            self.coupling.windows_host(self.body.coords_at(0.0))
+        else:
+            self.coupling = IBMCoupling(self.mesh, self.body.dl,
+                                        dtype=self.dtype)
         self.cd_history = []
         self.cl_history = []
         self.t_history = []

@@ -48,9 +48,9 @@ class IBMCoupling:
         m = self.mesh
         if not hasattr(m, "axis_coords"):
             raise NotImplementedError(
-                "IBM coupling needs a structured box mesh (fixed-window "
-                "gather/scatter on a uniform fine grid); unstructured "
-                "gmsh domains are not supported for IBM"
+                "IBM coupling needs a structured box mesh for ON-DEVICE "
+                "window computation (moving bodies); static bodies on "
+                "unstructured gmsh domains use UnstructuredIBMCoupling"
             )
         if m.dim != 2:
             raise NotImplementedError("IBM coupling is 2D (like the reference)")
@@ -137,3 +137,87 @@ class IBMCoupling:
         q = res.x.reshape(-1, 2)
         vel = vel + self.spread(q, nodes, weights, n_nodes)
         return vel, q
+
+
+@dataclass
+class UnstructuredIBMCoupling(IBMCoupling):
+    """Delta-function coupling on a LOCALLY-UNIFORM unstructured region.
+
+    Parity: the reference runs IBM on any DMPlex/gmsh mesh using the
+    config 'h-min' as the IBM grid spacing
+    (/root/reference/src/cases/immersed_boundary.py:55-58). The Peskin
+    discrete-delta identities (sum phi = 1, linear reproduction) only
+    hold on a uniform grid, so validity requires the mesh to be uniform
+    with spacing ~h inside the 4h x 4h kernel support of every Lagrange
+    point — the usual gmsh construction (a uniformly refined box around
+    the body, coarsening outward). Construction VALIDATES this: window
+    weight rows must sum to 1 within 1%.
+
+    Windows are precomputed HOST-side (the node set has no grid
+    structure to index on device), so bodies must be static; moving
+    bodies keep the on-device box-mesh path (IBMCoupling.windows).
+    Operator applies (interp/spread/flux solve) are inherited — they
+    only consume (nodes, weights).
+    """
+
+    h_min: float = None  # kernel-support spacing ('h-min' / (ngl-1))
+
+    def __post_init__(self):
+        if self.mesh.dim != 2:
+            raise NotImplementedError("IBM coupling is 2D (like the reference)")
+        if self.h_min is None:
+            raise ValueError("UnstructuredIBMCoupling needs h_min")
+        self.h = float(self.h_min)
+        self.phi = KERNELS[self.kernel]
+        self._cache = None
+
+    def windows_host(self, X):
+        """Precompute (nodes, weights) for static Lagrange points X.
+
+        Brute-force support search (L x N distances, host numpy): every
+        euler node within the kernel's 4h x 4h box contributes
+        phi(dx/h) phi(dy/h); rows are padded to a fixed capacity with
+        zero-weight entries pointing at node 0.
+        """
+        X = np.asarray(X, dtype=np.float64)
+        coords = np.asarray(self.mesh.coords, dtype=np.float64)[:, :2]
+        h = self.h
+        nodes_l, weights_l = [], []
+        for x in X:
+            d = (coords - x[None, :]) / h
+            sel = np.flatnonzero((np.abs(d[:, 0]) < 2.0)
+                                 & (np.abs(d[:, 1]) < 2.0))
+            w = (np.asarray(self.phi(jnp.asarray(d[sel, 0])))
+                 * np.asarray(self.phi(jnp.asarray(d[sel, 1]))))
+            keep = np.abs(w) > 1e-14
+            nodes_l.append(sel[keep])
+            weights_l.append(w[keep])
+        rowsums = np.array([w.sum() for w in weights_l])
+        bad = np.abs(rowsums - 1.0) > 1e-2
+        if bad.any():
+            raise ValueError(
+                f"mesh is not locally uniform at spacing h={h:g} around "
+                f"{int(bad.sum())}/{len(X)} Lagrange points (window "
+                f"weight sums {rowsums[bad][:4]} != 1): refine the gmsh "
+                f"region around the body uniformly or fix 'h-min'"
+            )
+        cap = max(len(n) for n in nodes_l)
+        L = len(nodes_l)
+        nodes = np.zeros((L, cap), dtype=np.int32)
+        weights = np.zeros((L, cap))
+        for i, (n, w) in enumerate(zip(nodes_l, weights_l)):
+            nodes[i, :len(n)] = n
+            weights[i, :len(w)] = w
+        self._cache = (jnp.asarray(nodes),
+                       jnp.asarray(weights, dtype=self.dtype))
+        return self._cache
+
+    def windows(self, X):
+        """Static precomputed windows (X is ignored: bodies are static;
+        windows_host must have been called at setup)."""
+        if self._cache is None:
+            raise RuntimeError(
+                "UnstructuredIBMCoupling.windows_host(X) must run at "
+                "setup (static bodies only on gmsh domains)"
+            )
+        return self._cache

@@ -199,6 +199,60 @@ def time_solving_sharded(args, config):
     return metrics
 
 
+def kle_field_dump(args, config):
+    """Solve the KLE at the viscous-time sequence and write computed +
+    exact fields for ParaView.
+
+    Parity: `-test kle` -> generateParaviewer -> solveKLETests
+    (/root/reference/src/run_case.py:132-136, custom_func.py:85-105):
+    at each t = tau^2/(4 nu) the KLE is solved from the EXACT vorticity,
+    the vorticity check-field is Curl(exact velocity), and both are
+    saved alongside the exact counterparts.
+    """
+    import jax.numpy as jnp
+
+    p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
+                     dtype=args.dtype).setup()
+    save_dir = config.get("save-dir", f"run-{args.case}-kle")
+    writer = None
+    try:
+        from pynama_tpu.io.xdmf import XdmfWriter
+
+        writer = XdmfWriter(save_dir, p.dim)
+        writer.save_mesh(p.mesh.coords)
+    except Exception as e:  # h5py missing etc.
+        logger.warning("XDMF output disabled: %s", e)
+
+    viscous_times = [0.01, 0.05, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8,
+                     0.9]  # custom_func.py:90
+    errors = []
+    for step, tau in enumerate(viscous_times):
+        t = (tau**2) / (4.0 * p.nu)
+        vel_e, vort_e = p.exact_fields(t)
+        vel = p.solve_kle(
+            t, jnp.asarray(np.asarray(vort_e).reshape(p._gshape(p.dim_w))),
+            rtol=1e-13, maxiter=30000, restarts=2,
+        )
+        vort = p.operators.curl(
+            jnp.asarray(np.asarray(vel_e).reshape(p._gshape(p.dim))))
+        err = float(np.linalg.norm(
+            np.asarray(vel).reshape(-1) - np.asarray(vel_e).reshape(-1)))
+        errors.append(err)
+        logger.info("Saving time: %.3f | Step: %d | ||u-u_e|| %.3e",
+                    t, step, err)
+        if writer is not None:
+            writer.save_fields(
+                step, t,
+                velocity=np.asarray(vel).reshape(-1),
+                vorticity=np.asarray(vort).reshape(-1),
+                exact_velocity=np.asarray(vel_e).reshape(-1),
+                exact_vorticity=np.asarray(vort_e).reshape(-1),
+            )
+            writer.write_xmf(config.get("name", args.case) + "-kle")
+    print(json.dumps({"viscous_times": viscous_times, "errors": errors,
+                      "save_dir": save_dir}))
+
+
 def chart_kle(args, config):
     """p- AND h-refinement KLE convergence charts.
 
@@ -361,7 +415,9 @@ def main(argv=None):
             f"({', '.join(sorted(analytic))}); got '{args.case}'"
         )
 
-    if args.test in ("kle", "chart"):
+    if args.test == "kle":
+        kle_field_dump(args, config)
+    elif args.test == "chart":
         chart_kle(args, config)
     elif args.test == "operators":
         chart_operators(args, config)

@@ -126,3 +126,112 @@ def test_dynamic_body_moves():
     nodes, weights = p.coupling.windows(X)
     slip = np.asarray(p.coupling.interp(p.vel, nodes, weights)) - Ub
     assert np.abs(slip).max() < 1e-6, np.abs(slip).max()
+
+
+# ----------------------------------------------------------------------
+# IBM on unstructured (gmsh) domains: UnstructuredIBMCoupling
+# ----------------------------------------------------------------------
+def test_unstructured_coupling_matches_box():
+    """UnstructuredIBMCoupling on the SAME uniform geometry expressed as
+    an unstructured quad mesh must reproduce the box-mesh coupling:
+    interpolated velocities and flux solutions agree at the Lagrange
+    points (node orderings differ; Lagrange-point quantities are
+    ordering-invariant)."""
+    from pynama_tpu.ibm.coupling import UnstructuredIBMCoupling
+    from pynama_tpu.mesh.unstructured import UnstructuredQuadMesh
+    from tests.test_unstructured import box_corner_mesh
+
+    ngl = 3
+    box = BoxMesh(nelem=(16, 16), lower=(-1, -1), upper=(1, 1), ngl=ngl)
+    h = 2.0 / 16 / (ngl - 1)
+    pts, quads = box_corner_mesh(16, 16)
+    um = UnstructuredQuadMesh(pts * 2.0 - 1.0, quads, ngl=ngl)
+
+    body = Circle(center=np.zeros(2), radius=0.45).generate(h)
+    X = np.asarray(body.coords_at(0.0))
+    cb = IBMCoupling(box, body.dl)
+    cu = UnstructuredIBMCoupling(um, body.dl, h_min=h)
+    nb, wb = cb.windows(jnp.asarray(X))
+    nu_, wu = cu.windows_host(X)
+    np.testing.assert_allclose(np.asarray(wu.sum(axis=1)), 1.0, atol=1e-10)
+
+    def field(coords):
+        return np.stack([np.sin(coords[:, 0]) * np.cos(coords[:, 1]),
+                         coords[:, 0] * coords[:, 1]], axis=1)
+
+    ub = jnp.asarray(field(np.asarray(box.coords)).reshape(-1))
+    uu = jnp.asarray(field(np.asarray(um.coords)[:, :2]).reshape(-1))
+    np.testing.assert_allclose(np.asarray(cu.interp(uu, nu_, wu)),
+                               np.asarray(cb.interp(ub, nb, wb)),
+                               atol=1e-10)
+
+    Ub = jnp.zeros((body.n_nodes, 2))
+    _, qb = cb.solve_correction(ub, Ub, nb, wb, rtol=1e-12, maxiter=2000)
+    _, qu = cu.solve_correction(uu, Ub, nu_, wu, rtol=1e-12, maxiter=2000)
+    np.testing.assert_allclose(np.asarray(qu), np.asarray(qb), atol=1e-7)
+
+
+def test_unstructured_coupling_rejects_nonuniform():
+    """The Peskin delta identities need local uniformity; a distorted
+    mesh must be rejected with a clear error, not silently mis-coupled."""
+    from pynama_tpu.ibm.coupling import UnstructuredIBMCoupling
+    from pynama_tpu.mesh.unstructured import UnstructuredQuadMesh
+    from tests.test_unstructured import box_corner_mesh
+
+    pts, quads = box_corner_mesh(16, 16, distort=0.25, seed=1)
+    um = UnstructuredQuadMesh(pts * 2.0 - 1.0, quads, ngl=3)
+    h = 2.0 / 16 / 2
+    body = Circle(center=np.zeros(2), radius=0.45).generate(h)
+    cu = UnstructuredIBMCoupling(um, body.dl, h_min=h)
+    with pytest.raises(ValueError, match="locally uniform"):
+        cu.windows_host(np.asarray(body.coords_at(0.0)))
+
+
+def _write_box_msh(path, n, lo, hi):
+    """Uniform n x n quad grid over [lo,hi]^2 as a gmsh v2.2 file."""
+    W = n + 1
+    lines = ["$MeshFormat", "2.2 0 8", "$EndMeshFormat",
+             "$PhysicalNames", "2", '1 10 "walls"', '2 20 "fluid"',
+             "$EndPhysicalNames", "$Nodes", str(W * W)]
+    xs = np.linspace(lo, hi, W)
+    for j in range(W):
+        for i in range(W):
+            lines.append(f"{j * W + i + 1} {xs[i]:.16g} {xs[j]:.16g} 0")
+    lines.append("$EndNodes")
+    elems = []
+    for j in range(n):
+        for i in range(n):
+            v0 = j * W + i + 1
+            elems.append(f"3 2 20 1 {v0} {v0 + 1} {v0 + 1 + W} {v0 + W}")
+    for i in range(n):  # boundary lines (all four sides -> "walls")
+        b = i + 1
+        t = n * W + i + 1
+        elems.append(f"1 2 10 2 {b} {b + 1}")
+        elems.append(f"1 2 10 2 {t} {t + 1}")
+        l_ = i * W + 1
+        r = i * W + W
+        elems.append(f"1 2 10 2 {l_} {l_ + W}")
+        elems.append(f"1 2 10 2 {r} {r + W}")
+    lines += ["$Elements", str(len(elems))]
+    lines += [f"{k + 1} {e}" for k, e in enumerate(elems)]
+    lines.append("$EndElements")
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_static_cylinder_on_gmsh_domain(tmp_path):
+    """End-to-end ibm-static on a gmsh-file domain (parity:
+    immersed_boundary.py:55-58 runs IBM on DMPlex meshes with h-min):
+    a short transient run enforces no-slip on the body."""
+    from pynama_tpu.cases.immersed import ImmersedBoundaryProblem
+
+    msh = tmp_path / "ibm-box.msh"
+    _write_box_msh(msh, 24, -3.0, 3.0)
+    cfg = ibm_config()
+    cfg["domain"] = {"ngl": 3, "gmsh-file": str(msh), "h-min": "6/24"}
+    p = ImmersedBoundaryProblem(cfg).setup()
+    vort, t, n = p.run(max_steps=2)
+    assert np.isfinite(np.asarray(vort)).all()
+    nodes, weights = p.coupling.windows(None)
+    slip = np.asarray(p.coupling.interp(p.vel, nodes, weights))
+    assert np.abs(slip).max() < 1e-6, np.abs(slip).max()
+    assert p.cd_history and p.cd_history[-1][0] > 0

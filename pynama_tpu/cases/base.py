@@ -187,6 +187,9 @@ class BaseProblem:
         if not (hasattr(self.system.K, "to_blocked") and _use_conv()):
             return
         self._blocked = True
+        # blocked-layout period: ngl for parity blocking, sb*(ngl-1)+1
+        # when the ops super-block (ops/structured.py pick_super_factor)
+        self._solver_ngl = self.system.K.eff_ngl
         for name in ("free_mask", "free_mask_fs", "bc_vort_mask",
                      "_fsfree", "_u_bc"):
             val = getattr(self, name, None)
@@ -196,17 +199,19 @@ class BaseProblem:
     def _blk(self, grid):
         from pynama_tpu.ops.conv import to_blocked
 
-        return to_blocked(grid, self.ngl)
+        return to_blocked(grid, getattr(self, "_solver_ngl", self.ngl))
 
     def _unblk(self, xb):
         from pynama_tpu.ops.conv import from_blocked
 
-        return from_blocked(xb, self.ngl, tuple(reversed(self.mesh.npts)))
+        return from_blocked(xb, getattr(self, "_solver_ngl", self.ngl),
+                            tuple(reversed(self.mesh.npts)))
 
     def _bshape(self, k):
         from pynama_tpu.ops.conv import blocked_shape
 
-        return blocked_shape(self.ngl, tuple(reversed(self.mesh.npts)), k)
+        return blocked_shape(getattr(self, "_solver_ngl", self.ngl),
+                             tuple(reversed(self.mesh.npts)), k)
 
     def _m(self, name):
         """Solver-layout mask/constant by name."""

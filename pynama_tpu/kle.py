@@ -63,7 +63,7 @@ class KLESystem:
                 and u.shape == K.blocked_shape_in):
             from pynama_tpu.ops.conv import mask_frees_boundary
 
-            corr = mask_frees_boundary(free_mask, K.ngl, K.npts_grid)
+            corr = mask_frees_boundary(free_mask, K.eff_ngl, K.npts_grid)
             Ku = K.apply_blocked(free_mask * u, corrections=corr)
         else:
             Ku = K(free_mask * u)
@@ -303,15 +303,17 @@ def build_kle_system(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
     n_vel = mesh.n_nodes * dim
 
     if mesh.uniform and hasattr(mesh, "npts"):
-        from pynama_tpu.ops.structured import StructuredElementOp
+        from pynama_tpu.ops.structured import (StructuredElementOp,
+                                               pick_super_factor)
 
         K_el, Rw_el, Rd_el = elem.kle_matrices(mesh.cell_corners[0])
+        sb = pick_super_factor(tuple(mesh.nelem), mesh.ngl, dim)
 
         def sop(A, k_in, k_out):
             return StructuredElementOp(
                 A=jnp.asarray(A, dtype=dtype), ngl=mesh.ngl,
                 nelem=tuple(mesh.nelem), npts=tuple(mesh.npts),
-                k_in=k_in, k_out=k_out,
+                k_in=k_in, k_out=k_out, sb=sb,
             )
 
         K = sop(K_el, dim, dim)
@@ -342,16 +344,18 @@ def build_operators(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
     n = mesh.n_nodes
 
     if mesh.uniform and hasattr(mesh, "npts"):
-        from pynama_tpu.ops.structured import StructuredElementOp
+        from pynama_tpu.ops.structured import (StructuredElementOp,
+                                               pick_super_factor)
 
         SrT_el, Div_el, Curl_el, wvec_el = elem.kle_operators(mesh.cell_corners[0])
         wvec_el = np.broadcast_to(wvec_el, (mesh.n_cells, elem.nnode))
+        sb = pick_super_factor(tuple(mesh.nelem), mesh.ngl, dim)
 
         def sop(A, k_in, k_out):
             return StructuredElementOp(
                 A=jnp.asarray(A, dtype=dtype), ngl=mesh.ngl,
                 nelem=tuple(mesh.nelem), npts=tuple(mesh.npts),
-                k_in=k_in, k_out=k_out,
+                k_in=k_in, k_out=k_out, sb=sb,
             )
 
         Curl = sop(Curl_el, dim, dim_w)
@@ -379,10 +383,11 @@ def build_operators(mesh: BoxMesh, elem: SpectralElement, dtype=jnp.float64):
             return None
         from pynama_tpu.ops.conv import pad_mask, to_blocked
 
+        eff = Curl.eff_ngl  # super-blocked period (ops/structured.py sb)
         npg = tuple(reversed(mesh.npts))
         g = np.repeat(w_node, k).reshape(npg + (k,))
-        wb = np.asarray(to_blocked(jnp.asarray(g), mesh.ngl))
-        pm = pad_mask(mesh.ngl, npg, k)
+        wb = np.asarray(to_blocked(jnp.asarray(g), eff))
+        pm = pad_mask(eff, npg, k)
         return jnp.asarray(wb + (1.0 - pm), dtype=dtype)
 
     return ProjectionOperators(

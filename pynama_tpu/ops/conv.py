@@ -30,6 +30,7 @@ scatter-adds, so it is safe to run under tracing (the elemental matrix A
 may be a tracer when ops are passed through jit as pytrees).
 """
 
+import os
 from functools import lru_cache
 from itertools import combinations, product
 
@@ -190,6 +191,100 @@ def build_patch_kernel(Bmat, ngl, dim, k, dtype):
 
 
 # ----------------------------------------------------------------------
+# superblocking: rebase a parity-lattice kernel to a coarser lattice
+# ----------------------------------------------------------------------
+@lru_cache(maxsize=None)
+def _rebase_map(Fp, dim, P, k_in, k_out, f):
+    """Gather map re-indexing a period-P conv kernel onto period s=f*P.
+
+    The parity-blocked layout's channel count (P^dim * k, e.g. 8 for Q2
+    2D velocity) under-fills the TPU's 128-wide lanes/MXU by ~16x; the
+    SAME operator re-blocked on a lattice of f^dim-element "super-cells"
+    has (f*P)^dim * k channels (128 for f=4), turning every conv tap
+    into a well-shaped MXU matmul. The rebase is exact re-indexing:
+    parity block bp = bs*f + u, so a parity displacement d lands in
+    super block bs + floor((u_out+d)/f) at sub-position (u_out+d) mod f.
+    Returns (src_map, w_shape): dst entry i takes value W_p.flat[src[i]]
+    (or 0 where src < 0).
+    """
+    Qp = (Fp - 1) // 2
+    s = f * P
+    all_ds = [(u + d) // f for u in range(f) for d in range(-Qp, Qp + 1)]
+    Qs = max(max(all_ds), -min(all_ds))
+    Fs = 2 * Qs + 1
+    Cp_in, Cp_out = P**dim * k_in, P**dim * k_out
+    Cs_in, Cs_out = s**dim * k_in, s**dim * k_out
+    mp = np.full(Fs**dim * Cs_in * Cs_out, -1, dtype=np.int64)
+
+    subs = np.array(list(np.ndindex(*(P,) * dim)), dtype=np.int64)
+    subs = subs.reshape(-1, dim)
+
+    def chan_sup(u, k):
+        lin = np.zeros(len(subs), dtype=np.int64)
+        for ax in range(dim):
+            lin = lin * s + (u[ax] * P + subs[:, ax])
+        return (lin[:, None] * k + np.arange(k)).reshape(-1)
+
+    lin_p = np.zeros(len(subs), dtype=np.int64)
+    for ax in range(dim):
+        lin_p = lin_p * P + subs[:, ax]
+
+    def chan_par(k):
+        return (lin_p[:, None] * k + np.arange(k)).reshape(-1)
+
+    cin_p, cout_p = chan_par(k_in), chan_par(k_out)
+    for u_out in np.ndindex(*(f,) * dim):
+        co_s = chan_sup(u_out, k_out)
+        for dq in np.ndindex(*(Fp,) * dim):
+            ds = [(u_out[a] + dq[a] - Qp) // f for a in range(dim)]
+            u_in = tuple((u_out[a] + dq[a] - Qp) % f for a in range(dim))
+            qs_lin = qp_lin = 0
+            for a in range(dim):
+                qs_lin = qs_lin * Fs + (ds[a] + Qs)
+                qp_lin = qp_lin * Fp + dq[a]
+            ci_s = chan_sup(u_in, k_in)
+            dst = (qs_lin * Cs_in + ci_s)[:, None] * Cs_out + co_s[None, :]
+            src = (qp_lin * Cp_in + cin_p)[:, None] * Cp_out + cout_p[None, :]
+            mp[dst.reshape(-1)] = src.reshape(-1)
+    return mp, (Fs,) * dim + (Cs_in, Cs_out)
+
+
+def rebase_conv_kernel(W, f, dim, k_in, k_out, ngl):
+    """Re-block a period-(ngl-1) conv kernel onto period f*(ngl-1).
+
+    Exact for any periodic stencil (operators AND vertex-star patch
+    kernels); footprint becomes 2*ceil(Q_p/f)+1 (3 for every case here).
+    """
+    if f == 1:
+        return W
+    P = ngl - 1
+    Fp = W.shape[0]
+    mp, shape = _rebase_map(Fp, dim, P, k_in, k_out, f)
+    flat = W.reshape(-1)
+    if isinstance(W, (jax.core.Tracer, jax.Array)):
+        out = jnp.where(jnp.asarray(mp) >= 0,
+                        flat[jnp.maximum(jnp.asarray(mp), 0)], 0)
+    else:
+        out = np.where(mp >= 0, np.asarray(flat)[np.maximum(mp, 0)],
+                       0.0).astype(W.dtype)
+    return out.reshape(shape)
+
+
+def rebase_kernels(W, corrections, f, dim, k_in, k_out, ngl):
+    """Rebase a (W, corrections) pair from build_conv_kernels."""
+    if f == 1:
+        return W, corrections
+    W_s = rebase_conv_kernel(W, f, dim, k_in, k_out, ngl)
+    corr_s = []
+    for pins, sign, W_sub in corrections:
+        n_rem = dim - len(pins)
+        if n_rem:
+            W_sub = rebase_conv_kernel(W_sub, f, n_rem, k_in, k_out, ngl)
+        corr_s.append((pins, sign, W_sub))
+    return W_s, tuple(corr_s)
+
+
+# ----------------------------------------------------------------------
 # apply
 # ----------------------------------------------------------------------
 def _to_blocked(x, ngl, npts_grid):
@@ -226,12 +321,21 @@ def _from_blocked(y, ngl, npts_grid, k_out):
 def conv_blocked(xb, W, precision):
     """Stencil contraction on a parity-blocked tensor (..., B..., Cin).
 
-    Implemented as F^dim shifted GEMMs instead of conv_general_dilated:
-    XLA's TPU conv lowering for these narrow channel counts measures ~2.5x
-    slower than explicit pad + slice + dot (which fuses the accumulation).
-    Footprint F per axis is read off W (3 for elemental operators, 5 for
-    vertex-star patch smoothers).
+    Fast path: a Pallas kernel holding the whole tensor in VMEM (one HBM
+    read + write per apply — ops/pallas_stencil.py); falls back to F^dim
+    shifted GEMMs where the kernel doesn't apply (f64, batch dims, CPU,
+    VMEM overflow). The XLA path uses explicit pad + slice + dot rather
+    than conv_general_dilated: XLA's TPU conv lowering for these narrow
+    channel counts measures ~2.5x slower. Footprint F per axis is read
+    off W (3 for elemental operators and super-blocked patch smoothers,
+    5 for parity-layout patch smoothers).
     """
+    if os.environ.get("PYNAMA_NO_PALLAS", "0") != "1":
+        from pynama_tpu.ops.pallas_stencil import (conv_blocked_pallas,
+                                                   pallas_ok)
+
+        if pallas_ok(xb.shape, xb.dtype, W.shape):
+            return conv_blocked_pallas(xb, W)
     dim = W.ndim - 2
     F = W.shape[0]
     Q = (F - 1) // 2

@@ -56,11 +56,19 @@ class _DistMGMeta:
     # then holds the PATCH-preconditioned spectrum bound for that level
     use_patch: List[bool] = field(default_factory=list)
     cheb_div: List[float] = field(default_factory=list)
+    # per-level super-blocking of the LOCAL blocked layout (period
+    # effs[li]-1 nodes; ops/structured.py pick_super_factor on the local
+    # nelem). effs[li] == ngl when the level stays parity-blocked.
+    sbs: List[int] = field(default_factory=list)
+    effs: List[int] = field(default_factory=list)
     # coarse-grid agglomeration: the distributed hierarchy covers only
     # the leading slab-divisible levels; the coarser tail runs as a
     # replicated single-chip V-cycle after an all_gather (repl["tail"])
     aggl: bool = False
     tail_npts: Optional[tuple] = None  # agglomeration level, MESH order
+    # blocked-layout period of the replicated tail V-cycle (the tail's
+    # fine level may super-block, ops/structured.py pick_super_factor)
+    tail_ngl: Optional[int] = None
 
 
 def build_dist_mg(mg, sharded):
@@ -106,11 +114,21 @@ def build_dist_mg(mg, sharded):
     # elsewhere. lam_max follows the smoother (Chebyshev window).
     lam_jac = list(getattr(mg, "lam_max_jacobi", mg.lam_max))
     patch_W = getattr(mg, "patch_W", None)
-    use_patch, lam, cdiv = [], [], []
+    from pynama_tpu.ops.structured import pick_super_factor
+
+    use_patch, lam, cdiv, sbs, effs = [], [], [], [], []
     for li, lvl in enumerate(mg.levels[:m]):
+        dec_li = GridDecomposition(lvl.mesh, (n_dev,))
+        f_li = (pick_super_factor(tuple(dec_li.local_nelem), N, dim)
+                if sharded.blocked else 1)
+        sbs.append(f_li)
+        effs.append(f_li * (N - 1) + 1)
         ne_loc_last = lvl.mesh.nelem[-1] // n_dev
+        # patch margin: the footprint-Q ghost exchange reaches one
+        # neighbor each side; the receive slab is Q+1 blocks (Q=1 super,
+        # Q=2 parity), so a device must own >= Q+1 local blocks
         ok = (sharded.blocked and patch_W is not None
-              and ne_loc_last >= 2)
+              and (ne_loc_last // f_li) + 1 >= (2 if f_li > 1 else 3))
         use_patch.append(ok)
         lam.append(mg.lam_max[li] if ok else lam_jac[li])
         cdiv.append(mg.cheb_div if ok else 4.0)
@@ -123,8 +141,11 @@ def build_dist_mg(mg, sharded):
         local_nelem=[], local_npts=[], rows_loc=[],
         pre=mg.pre, post=mg.post,
         use_patch=use_patch, cheb_div=cdiv,
+        sbs=sbs, effs=effs,
         aggl=aggl,
         tail_npts=tuple(mg.levels[m - 1].mesh.npts) if aggl else None,
+        tail_ngl=(getattr(mg.levels[m - 1].K, "eff_ngl", N)
+                  if aggl else None),
     )
     stacked = []
     repl = []
@@ -133,6 +154,7 @@ def build_dist_mg(mg, sharded):
         meta.local_nelem.append(dec.local_nelem)
         meta.local_npts.append(dec.local_npts)
         meta.rows_loc.append(dec.rows_loc[0])
+        eff = effs[li]
 
         def loc_grid(g):
             flat = np.asarray(g).reshape(-1)
@@ -145,7 +167,7 @@ def build_dist_mg(mg, sharded):
             from pynama_tpu.ops.conv import to_blocked
 
             return jnp.stack([
-                to_blocked(jnp.asarray(loc[d]), N) for d in range(n_dev)
+                to_blocked(jnp.asarray(loc[d]), eff) for d in range(n_dev)
             ])
 
         st = {
@@ -164,12 +186,18 @@ def build_dist_mg(mg, sharded):
                 half[:-1, -1] = 0.5  # upper interface plane (grid axis 0)
                 half[1:, 0] = 0.5    # lower interface plane
             st["half"] = jnp.stack([
-                to_blocked(jnp.asarray(half[d], dtype=dtype), N)
+                to_blocked(jnp.asarray(half[d], dtype=dtype), eff)
                 for d in range(n_dev)
             ]) if sharded.blocked else jnp.asarray(half, dtype=dtype)
         rp = {"A": jnp.asarray(lvl.K.A, dtype=dtype)}
         if use_patch[li]:
-            rp["patch_W"] = jnp.asarray(patch_W[li], dtype=dtype)
+            from pynama_tpu.ops.conv import rebase_conv_kernel
+
+            rp["patch_W"] = jnp.asarray(
+                rebase_conv_kernel(np.asarray(patch_W[li]), sbs[li], dim,
+                                   dim, dim, N),
+                dtype=dtype,
+            )
         if li + 1 < m:
             st["mult"] = jnp.asarray(loc_grid(lvl.mult_inv),
                                      dtype=dtype)  # grid layout
@@ -177,7 +205,7 @@ def build_dist_mg(mg, sharded):
                 from pynama_tpu.ops.conv import to_blocked
 
                 st["mult_b"] = jnp.stack([
-                    to_blocked(jnp.asarray(st["mult"][d]), N)
+                    to_blocked(jnp.asarray(st["mult"][d]), eff)
                     for d in range(n_dev)
                 ])
             rp["interp"] = lvl.interp_k
@@ -252,13 +280,16 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
         StructuredElementOp(
             repl["levels"][li]["A"], N, meta.local_nelem[li],
             meta.local_npts[li], dim, dim,
+            sb=(meta.sbs[li] if meta.sbs else 1),
         )
         for li in range(nlev)
     ]
+    effs = meta.effs if meta.effs else [N] * nlev
 
     def halo(li, y):
         if blocked:
-            return halo_sum_blocked_axis(y, N - 1, dim, 0, axis, n_dev)
+            return halo_sum_blocked_axis(y, effs[li] - 1, dim, 0, axis,
+                                         n_dev)
         return halo_sum_grid_axis(y, 0, axis, n_dev)
 
     def masked_apply(li, mask, x):
@@ -308,14 +339,15 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
             return x
         from pynama_tpu.ops.conv import from_blocked
 
-        return from_blocked(x, N, tuple(reversed(meta.local_npts[li])))
+        return from_blocked(x, effs[li],
+                            tuple(reversed(meta.local_npts[li])))
 
     def to_solver(li, g):
         if not blocked:
             return g
         from pynama_tpu.ops.conv import to_blocked
 
-        return to_blocked(g, N)
+        return to_blocked(g, effs[li])
 
     def subcell_params(li, s, ratio):
         digits = []
@@ -380,9 +412,10 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
             if blocked:
                 from pynama_tpu.ops.conv import from_blocked, to_blocked
 
-                xg = to_blocked(full, N)
+                xg = to_blocked(full, meta.tail_ngl)
                 xg = repl["tail"](xg)
-                x = from_blocked(xg, N, tuple(reversed(meta.tail_npts)))
+                x = from_blocked(xg, meta.tail_ngl,
+                                 tuple(reversed(meta.tail_npts)))
             else:
                 x = repl["tail"](full)
         else:

@@ -65,18 +65,25 @@ class ShardedNSProblem:
         N = m.ngl
         self.blocked = _use_conv()
 
-        # local ops: same elemental matrices, subdomain-local box shape
+        # local ops: same elemental matrices, subdomain-local box shape.
+        # The local blocked layout super-blocks independently of the
+        # single-chip problem (pick on the LOCAL nelem — all devices share
+        # it, so the layout is uniform across shards).
         sysm, ops = problem.system, problem.operators
+        from pynama_tpu.ops.structured import pick_super_factor
+
+        sb = pick_super_factor(tuple(sl.local_nelem), N, dim)
 
         def lop(op, k_in, k_out):
             return StructuredElementOp(op.A, N, sl.local_nelem,
-                                       sl.local_npts, k_in, k_out)
+                                       sl.local_npts, k_in, k_out, sb=sb)
 
         self.K_op = lop(sysm.K, dim, dim)
         self.Rw_op = lop(sysm.Rw, dim_w, dim)
         self.Curl_op = lop(ops.Curl, dim, dim_w)
         self.SrT_op = lop(ops.SrT, dim, dim_s)
         self.Div_op = lop(ops.DivSrT, dim_s, dim)
+        self.eff_ngl = self.K_op.eff_ngl  # local blocked-layout period + 1
         if self.blocked:
             # pre-build conv kernels eagerly (host, cached on the op)
             for op in (self.K_op, self.Rw_op, self.Curl_op, self.SrT_op,
@@ -86,13 +93,15 @@ class ShardedNSProblem:
         def arr(x):
             return jnp.asarray(x, dtype=dt)
 
+        eff = self.eff_ngl
+
         def blocked_stack(g):
             """Per-device blocked conversion of (pgrid..., grid...)."""
             from pynama_tpu.ops.conv import to_blocked
 
             out = None
             for didx in np.ndindex(*self.pgrid):
-                b = np.asarray(to_blocked(jnp.asarray(g[didx]), N))
+                b = np.asarray(to_blocked(jnp.asarray(g[didx]), eff))
                 if out is None:
                     out = np.empty(tuple(self.pgrid) + b.shape,
                                    dtype=b.dtype)
@@ -110,7 +119,7 @@ class ShardedNSProblem:
             if self.blocked:
                 from pynama_tpu.ops.conv import pad_mask
 
-                pm = pad_mask(N, tuple(sl.local_grid_shape(k)[:-1]), k)
+                pm = pad_mask(eff, tuple(sl.local_grid_shape(k)[:-1]), k)
                 w = w + (1.0 - pm)[(None,) * self.naxes]
             return w
 
@@ -178,18 +187,17 @@ class ShardedNSProblem:
         if self.blocked:
             from pynama_tpu.ops.conv import from_blocked
 
-            N = self.p.mesh.ngl
             npg = tuple(self.slab.local_grid_shape(k)[:-1])
             out = np.empty(tuple(self.pgrid) + npg + (k,))
             for didx in np.ndindex(*self.pgrid):
                 out[didx] = np.asarray(
-                    from_blocked(jnp.asarray(xs[didx]), N, npg))
+                    from_blocked(jnp.asarray(xs[didx]), self.eff_ngl, npg))
             xs = out
         return self.slab.from_local_grid(xs)
 
     # ------------------------------------------------------------------
     def _halo(self, y):
-        Pm1 = self.p.mesh.ngl - 1
+        Pm1 = self.eff_ngl - 1
         dim = self.p.mesh.dim
         for j in range(self.naxes):
             if self.blocked:
@@ -211,7 +219,7 @@ class ShardedNSProblem:
             return g
         from pynama_tpu.ops.conv import to_blocked
 
-        return to_blocked(g, self.p.mesh.ngl)
+        return to_blocked(g, self.eff_ngl)
 
     def _local_fns(self):
         """Build the inside-shard_map physics, closing over replicated data."""

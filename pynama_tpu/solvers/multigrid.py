@@ -261,7 +261,8 @@ class MGPreconditioner:
 
         self.levels: List[_Level] = []
         for li, m in enumerate(meshes):
-            from pynama_tpu.ops.structured import StructuredElementOp
+            from pynama_tpu.ops.structured import (StructuredElementOp,
+                                                   pick_super_factor)
 
             if li == 0 or not galerkin:
                 sysm = build_kle_system(m, elem, dtype)
@@ -271,6 +272,7 @@ class MGPreconditioner:
                     A=jnp.asarray(K_els[li], dtype=dtype), ngl=m.ngl,
                     nelem=tuple(m.nelem), npts=tuple(m.npts),
                     k_in=m.dim, k_out=m.dim,
+                    sb=pick_super_factor(tuple(m.nelem), m.ngl, m.dim),
                 )
                 diag_flat = K_op.diagonal()
             gshape = tuple(reversed(m.npts)) + (m.dim,)
@@ -318,11 +320,14 @@ class MGPreconditioner:
         # stiffness inverse, lowered to a footprint-5 parity-blocked conv
         # kernel (pynama_tpu/ops/conv.py build_patch_kernel)
         self.smoother = smoother
-        self.patch_W = None
+        self.patch_W = None   # parity layout (grid applies + dist path)
+        self.patch_Wb = None  # per-level blocked layout (super-rebased)
         if smoother == "patch":
-            from pynama_tpu.ops.conv import build_patch_kernel
+            from pynama_tpu.ops.conv import (build_patch_kernel,
+                                             rebase_conv_kernel)
 
             self.patch_W = []
+            self.patch_Wb = []
             for li, m in enumerate(meshes):
                 if galerkin or li == 0:
                     K_lvl = K_els[li]
@@ -331,8 +336,13 @@ class MGPreconditioner:
                         elem.kle_matrices(m.cell_corners[0])[0]
                     )
                 Ap = _patch_matrix(K_lvl, mesh.ngl, self.dim)
-                self.patch_W.append(build_patch_kernel(
+                Wp = build_patch_kernel(
                     np.linalg.inv(Ap), mesh.ngl, self.dim, self.dim, dtype
+                )
+                self.patch_W.append(Wp)
+                self.patch_Wb.append(rebase_conv_kernel(
+                    Wp, self.levels[li].K.sb, self.dim, self.dim,
+                    self.dim, mesh.ngl,
                 ))
 
         # per-level lambda_max(M^-1 K) estimates (power iteration) for the
@@ -404,14 +414,14 @@ class MGPreconditioner:
                                          conv_stencil_apply_blocked)
 
         lvl = self.levels[li]
-        W = self.patch_W[li]
         npg = tuple(reversed(lvl.mesh.npts))
         x = mask * r
         if blocked:
-            y = conv_stencil_apply_blocked(x, W, (), lvl.mesh.ngl, npg,
-                                           self.dim)
+            y = conv_stencil_apply_blocked(x, self.patch_Wb[li], (),
+                                           lvl.K.eff_ngl, npg, self.dim)
         else:
-            y = conv_stencil_apply(x, W, (), lvl.mesh.ngl, npg, self.dim)
+            y = conv_stencil_apply(x, self.patch_W[li], (), lvl.mesh.ngl,
+                                   npg, self.dim)
         return mask * y
 
     def _masked_apply(self, lvl: _Level, mask, x, corrections=True):
@@ -515,7 +525,7 @@ class MGPreconditioner:
         # phantom-cell corrections matter only where the mask leaves
         # boundary dofs free; coarse-level masks are fully Dirichlet
         corr0 = mask_frees_boundary(
-            fine_mask, levels[0].mesh.ngl,
+            fine_mask, levels[0].K.eff_ngl,
             tuple(reversed(levels[0].mesh.npts)),
         )
         needs_corr = [corr0] + [False] * (nlev - 1)

@@ -1,0 +1,105 @@
+"""Super-blocked conv layout (ops/conv.py rebase_conv_kernel).
+
+The super-blocked apply is an exact re-indexing of the parity-blocked
+operator onto a lattice of f^dim-element super-cells (MXU-friendly
+channel counts); every path — grid apply, blocked apply with phantom
+corrections, and the rebased vertex-star patch kernel — must reproduce
+the parity results to roundoff.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pynama_tpu.ops.structured import StructuredElementOp, pick_super_factor
+
+
+def make_ops(rng, dim, ngl, k_in, k_out, nelem, f):
+    nnode = ngl**dim
+    A = rng.normal(size=(nnode * k_out, nnode * k_in))
+    npts = tuple(n * (ngl - 1) + 1 for n in nelem)
+
+    def op(sb):
+        return StructuredElementOp(
+            A=jnp.asarray(A), ngl=ngl, nelem=nelem, npts=npts,
+            k_in=k_in, k_out=k_out, sb=sb,
+        )
+
+    return op(1), op(f), npts
+
+
+CASES = [
+    (2, 3, 2, 2, (4, 8), 4),
+    (2, 3, 1, 2, (6, 3), 3),
+    (2, 4, 2, 3, (4, 2), 2),
+    (3, 3, 3, 3, (2, 4, 2), 2),
+    (3, 3, 3, 6, (2, 2, 2), 2),
+]
+
+
+@pytest.mark.parametrize("dim,ngl,k_in,k_out,nelem,f", CASES)
+def test_super_grid_apply_matches_parity(dim, ngl, k_in, k_out, nelem, f):
+    rng = np.random.default_rng(dim * 10 + f)
+    op1, opf, npts = make_ops(rng, dim, ngl, k_in, k_out, nelem, f)
+    gshape = tuple(reversed(npts)) + (k_in,)
+    xg = jnp.asarray(rng.normal(size=gshape))
+    y1 = np.asarray(op1(xg))
+    yf = np.asarray(opf(xg))
+    err = np.abs(yf - y1).max() / np.abs(y1).max()
+    assert err < 1e-12
+
+
+@pytest.mark.parametrize("dim,ngl,k_in,k_out,nelem,f", CASES)
+def test_super_blocked_apply_matches_parity(dim, ngl, k_in, k_out, nelem, f):
+    """Blocked in/out with phantom corrections, both lattice periods."""
+    rng = np.random.default_rng(dim * 31 + f)
+    op1, opf, npts = make_ops(rng, dim, ngl, k_in, k_out, nelem, f)
+    gshape = tuple(reversed(npts)) + (k_in,)
+    xg = jnp.asarray(rng.normal(size=gshape))
+    y1 = np.asarray(op1.from_blocked(op1.apply_blocked(op1.to_blocked(xg))))
+    yf = np.asarray(opf.from_blocked(opf.apply_blocked(opf.to_blocked(xg))))
+    err = np.abs(yf - y1).max() / np.abs(y1).max()
+    assert err < 1e-12
+
+
+def test_patch_kernel_rebase():
+    """Rebased vertex-star patch conv == parity patch conv (2D Q2)."""
+    from pynama_tpu.ops.conv import (build_patch_kernel,
+                                     conv_stencil_apply_blocked,
+                                     from_blocked, rebase_conv_kernel,
+                                     to_blocked)
+
+    rng = np.random.default_rng(11)
+    dim, ngl, k, f = 2, 3, 2, 4
+    P = ngl - 1
+    npatch = (2 * P + 1) ** dim * k
+    B = rng.normal(size=(npatch, npatch))
+    B = B + B.T  # symmetric, like a patch inverse
+    Wp = build_patch_kernel(B, ngl, dim, k, np.float64)
+    Ws = rebase_conv_kernel(Wp, f, dim, k, k, ngl)
+    assert Ws.shape[0] == 3  # footprint 5 -> 3 at f >= 2
+
+    nelem = (8, 4)
+    npts = tuple(n * P + 1 for n in nelem)
+    npg = tuple(reversed(npts))
+    xg = jnp.asarray(rng.normal(size=npg + (k,)))
+    y1 = from_blocked(
+        conv_stencil_apply_blocked(to_blocked(xg, ngl), Wp, (), ngl,
+                                   npg, k),
+        ngl, npg,
+    )
+    s = f * P + 1
+    yf = from_blocked(
+        conv_stencil_apply_blocked(to_blocked(xg, s), Ws, (), s, npg, k),
+        s, npg,
+    )
+    err = np.abs(np.asarray(yf) - np.asarray(y1)).max()
+    assert err < 1e-12 * np.abs(np.asarray(y1)).max()
+
+
+def test_pick_super_factor():
+    assert pick_super_factor((384, 384), 3, 2) == 4
+    assert pick_super_factor((32, 32, 80), 3, 3) == 2
+    assert pick_super_factor((359, 359), 3, 2) == 1   # prime: parity
+    assert pick_super_factor((16, 16), 9, 2) == 1     # lanes already full

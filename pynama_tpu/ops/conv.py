@@ -381,6 +381,39 @@ def from_blocked(xb, ngl, npts_grid):
     return _from_blocked(xb, ngl, npts_grid, k)
 
 
+def to_blocked_np(grid, ngl):
+    """numpy twin of to_blocked (host-side kernel probing / setup)."""
+    P = ngl - 1
+    npts_grid = grid.shape[:-1]
+    dim = len(npts_grid)
+    B = tuple((n - 1) // P + 1 for n in npts_grid)
+    k = grid.shape[-1]
+    pads = tuple((0, B[i] * P - npts_grid[i]) for i in range(dim)) + ((0, 0),)
+    g = np.pad(np.asarray(grid), pads)
+    shape = ()
+    for b in B:
+        shape += (b, P)
+    g = g.reshape(shape + (k,))
+    perm = (tuple(range(0, 2 * dim, 2)) + tuple(range(1, 2 * dim, 2))
+            + (2 * dim,))
+    return g.transpose(perm).reshape(B + (P**dim * k,))
+
+
+def from_blocked_np(xb, ngl, npts_grid):
+    """numpy twin of from_blocked."""
+    P = ngl - 1
+    dim = len(npts_grid)
+    B = xb.shape[:dim]
+    k = xb.shape[-1] // (P**dim)
+    g = np.asarray(xb).reshape(B + (P,) * dim + (k,))
+    perm = []
+    for i in range(dim):
+        perm += [i, dim + i]
+    perm.append(2 * dim)
+    g = g.transpose(perm).reshape(tuple(b * P for b in B) + (k,))
+    return g[tuple(slice(0, n) for n in npts_grid) + (slice(None),)]
+
+
 @lru_cache(maxsize=None)
 def _pad_mask_np(ngl, npts_grid, k):
     """(B..., P^dim*k) numpy: 1.0 on real node slots, 0.0 on pad slots."""

@@ -61,6 +61,9 @@ class _DistMGMeta:
     # nelem). effs[li] == ngl when the level stays parity-blocked.
     sbs: List[int] = field(default_factory=list)
     effs: List[int] = field(default_factory=list)
+    # blocked-native transfer strides per jump (None = grid-path
+    # transfer); kernels live in repl["levels"][li]["Wt"]
+    tms: List[Optional[int]] = field(default_factory=list)
     # coarse-grid agglomeration: the distributed hierarchy covers only
     # the leading slab-divisible levels; the coarser tail runs as a
     # replicated single-chip V-cycle after an all_gather (repl["tail"])
@@ -174,12 +177,13 @@ def build_dist_mg(mg, sharded):
             "diag": to_solver(lvl.diag),
             "mask": to_solver(lvl.mask),
         }
-        if use_patch[li]:
+        if sharded.blocked or use_patch[li]:
             from pynama_tpu.ops.conv import to_blocked
 
-            # input-ownership weights for the linear decomposition of the
-            # patch conv: interior slab-interface node planes carry 0.5 on
-            # BOTH owners, so sum_d x_owned_d == x_global exactly
+            # input-ownership weights for the linear decomposition of
+            # kernel-form operators (patch smoother, blocked transfers):
+            # interior slab-interface node planes carry 0.5 on BOTH
+            # owners, so sum_d x_owned_d == x_global exactly
             half = np.ones((n_dev,) + tuple(reversed(dec.local_npts))
                            + (dim,))
             if n_dev > 1:
@@ -209,6 +213,14 @@ def build_dist_mg(mg, sharded):
                     for d in range(n_dev)
                 ])
             rp["interp"] = lvl.interp_k
+            # blocked-native transfer kernel at the LOCAL periods
+            tk = (mg._transfer_kernel(li, effs[li] - 1, effs[li + 1] - 1)
+                  if sharded.blocked else None)
+            if tk is not None:
+                rp["Wt"] = jnp.asarray(tk[0], dtype=dtype)
+                meta.tms.append(tk[1])
+            else:
+                meta.tms.append(None)
         stacked.append(st)
         repl.append(rp)
     repl_top = {"levels": repl}
@@ -261,6 +273,33 @@ def dist_patch_apply(W, half, mask, r, axis, n_dev):
     # mask re-zeroes pad slots (the received neighbor margins carry the
     # neighbor's real values in slots that are pad on this device)
     return mask * y
+
+
+def _margin_sum(y_ext, gl, gh, B0, axis, n_dev):
+    """Exchange block margins of a kernel-form operator output.
+
+    y_ext covers local blocks [-gl, B0 + gh) along the partitioned axis
+    (axis 0); block overlap convention: my block 0 == the lower
+    neighbor's block B0-1 (the same global block). Sending my blocks
+    [-gl..0] down and [B0-1..B0-1+gh] up and adding the received margins
+    completes Σ_d conv(zero-extended owned share) == conv(x_global) on
+    every stored block of every device (the dist_patch_apply pattern,
+    gl == gh == Q).
+    """
+    core = y_ext[gl:gl + B0]
+    if n_dev == 1:
+        return core
+    down = y_ext[:gl + 1]
+    up = y_ext[gl + B0 - 1:]
+    from_above = jax.lax.ppermute(
+        down, axis, [(i, i - 1) for i in range(1, n_dev)]
+    )
+    from_below = jax.lax.ppermute(
+        up, axis, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    core = core.at[B0 - 1 - gl:].add(from_above)
+    core = core.at[:gh + 1].add(from_below)
+    return core
 
 
 def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
@@ -360,9 +399,31 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
         offset = tuple((N - 1) * dgt for dgt in digits)
         return ncells, step, offset
 
+    def _B_loc(li):
+        s = effs[li] - 1
+        return tuple((n - 1) // s + 1
+                     for n in reversed(meta.local_npts[li]))
+
     def restrict(li, res):
         """Fine local residual (solver layout) -> coarse (solver layout)."""
         lvl = stacked_local[li]
+        tm = meta.tms[li] if meta.tms else None
+        if blocked and tm is not None:
+            from pynama_tpu.solvers.multigrid import blocked_restrict_apply
+
+            # kernel-form restriction: halve interface-plane inputs
+            # (ownership shares), compute one DOWNWARD ghost block, and
+            # margin-sum — cell contributions cannot be attributed to a
+            # side in kernel form, so the patch-apply linearity trick
+            # replaces the grid path's per-cell locality + plane halo
+            Bc = _B_loc(li + 1)
+            x = res * lvl["mult_b"] * lvl["half"]
+            xp = jnp.pad(x, ((tm, 0),) + ((0, 0),) * (x.ndim - 1))
+            rc_ext = blocked_restrict_apply(
+                xp, repl["levels"][li]["Wt"], tm,
+                (Bc[0] + 1,) + Bc[1:], dim,
+            )
+            return _margin_sum(rc_ext, 1, 0, Bc[0], axis, n_dev)
         ratio = meta.ratios[li]
         interp = repl["levels"][li]["interp"]
         rf = to_grid(li, res) * lvl["mult"]
@@ -381,6 +442,18 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
     def prolong(li, xc):
         """Coarse local correction -> fine (solver layout)."""
         lvl = stacked_local[li]
+        tm = meta.tms[li] if meta.tms else None
+        if blocked and tm is not None:
+            from pynama_tpu.solvers.multigrid import blocked_prolong_apply
+
+            Bf = _B_loc(li)
+            xo = xc * stacked_local[li + 1]["half"]
+            y_ext = blocked_prolong_apply(
+                xo, repl["levels"][li]["Wt"], tm,
+                (Bf[0] + tm,) + Bf[1:], dim,
+            )
+            y = _margin_sum(y_ext, 0, tm, Bf[0], axis, n_dev)
+            return y * lvl["mult_b"]
         ratio = meta.ratios[li]
         interp = repl["levels"][li]["interp"]
         xcg = to_grid(li + 1, xc)

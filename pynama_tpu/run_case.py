@@ -77,11 +77,22 @@ def make_problem(case, config, **overrides):
     return cls(config, **kw)
 
 
+def _apply_run_overrides(p, args):
+    """CLI overrides of run-length/tolerance (demo + bench runs)."""
+    if getattr(args, "max_steps", None) is not None:
+        p.max_steps = args.max_steps
+    if getattr(args, "kle_rtol", None) is not None:
+        p.kle_rtol = args.kle_rtol
+    if getattr(args, "max_dt", None) is not None:
+        p.ts_max_dt = args.max_dt
+
+
 def time_solving(args, config):
     """Production run. Parity: timeSolving (run_case.py:152-162)."""
     p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
                      dtype=args.dtype,
                      gmsh_file=getattr(args, "gmsh", None)).setup()
+    _apply_run_overrides(p, args)
     save_dir = config.get("save-dir", f"run-{args.case}")
     save_every = int(config.get("save-n-steps", 1))
 
@@ -157,6 +168,7 @@ def time_solving_sharded(args, config):
         )
     p = make_problem(args.case, config, ngl=args.ngl, nelem=args.nelem,
                      dtype=args.dtype).setup()
+    _apply_run_overrides(p, args)
     sp = ShardedNSProblem(p, n_dev)
     logger.info("sharded run: %d devices, %d nodes (%d vel dofs), "
                 "distributed multigrid %s", n_dev, p.mesh.n_nodes,
@@ -376,6 +388,13 @@ def main(argv=None):
     ap.add_argument("-max-ngl", type=int, default=9)
     ap.add_argument("-resume", default=None, help="checkpoint to resume from")
     ap.add_argument("-dtype", default=None, choices=["float32", "float64"])
+    ap.add_argument("-max-steps", type=int, default=None, dest="max_steps",
+                    help="override the config's time-solver max-steps")
+    ap.add_argument("-kle-rtol", type=float, default=None, dest="kle_rtol",
+                    help="override the config's KLE solve tolerance "
+                         "(e.g. 1e-5 for float32 demo runs)")
+    ap.add_argument("-max-dt", type=float, default=None, dest="max_dt",
+                    help="cap the adaptive time step (config 'max-dt')")
     ap.add_argument("-sharded", type=int, default=None, metavar="N",
                     help="distribute the production run over an N-device "
                          "slab mesh (shard_map + halo exchange + psum; "

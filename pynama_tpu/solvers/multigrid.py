@@ -33,6 +33,7 @@ caps the V-cycle contraction near ~0.94 — Galerkin removes it exactly
 tests/test_multigrid.py).
 """
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable, List, Optional
@@ -46,6 +47,76 @@ from pynama_tpu.elements.quadrature import lobatto_points
 from pynama_tpu.elements.spectral import SpectralElement
 from pynama_tpu.kle import build_kle_system
 from pynama_tpu.mesh.structured import BoxMesh
+
+
+def _group_axis(x, axis, m, Bc):
+    """Pad + reshape one block axis to (Bc + 1, m) block groups."""
+    need = m * (Bc + 1)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, need - x.shape[axis])
+    x = jnp.pad(x, pad)
+    shape = x.shape[:axis] + (Bc + 1, m) + x.shape[axis + 1:]
+    return x.reshape(shape)
+
+
+def blocked_restrict_apply(x, Wr, m, Bc, dim):
+    """Stride-m block restriction on super-blocked tensors.
+
+    x: (Bf..., Cf) fine blocked (already multiplied by the blocked
+    1/multiplicity weights; pad slots zero). Coarse block bc accumulates
+    x[m*bc + t] @ Wr[t] over taps t in [0, m]^dim — implemented by
+    grouping each axis into (group, residue) so every tap is a plain
+    (non-strided) slice; the TPU serializes strided scatter/slices.
+    """
+    for a in range(dim):
+        # grouping axis a shifts later spatial axes right by one, so
+        # original axis a sits at index 2a when its turn comes
+        x = _group_axis(x, 2 * a, m, Bc[a])
+    out = None
+    for t in np.ndindex(*(m + 1,) * dim):
+        idx = []
+        for a in range(dim):
+            if t[a] < m:
+                idx += [slice(0, Bc[a]), t[a]]
+            else:
+                idx += [slice(1, Bc[a] + 1), 0]
+        sl = x[tuple(idx) + (slice(None),)]
+        v = jnp.matmul(sl, Wr[t], precision=jax.lax.Precision.HIGHEST)
+        out = v if out is None else out + v
+    return out
+
+
+def blocked_prolong_apply(xc, Wr, m, Bf, dim):
+    """Adjoint of blocked_restrict_apply (before multiplicity weights).
+
+    xc: (Bc..., Cc) coarse blocked correction with zero pad slots.
+    Returns the (Bf..., Cf) fine blocked scatter; callers multiply by
+    the fine blocked 1/multiplicity weights (and complete slab halos in
+    the distributed path) afterwards.
+    """
+    Bc = xc.shape[:dim]
+    Cf = Wr.shape[-2]
+    # per residue-class slab rho: fine blocks m*g + rho collect taps t
+    # with t mod m == rho (t == m lands in group g+1, residue 0)
+    slabs = {}
+    for t in np.ndindex(*(m + 1,) * dim):
+        v = jnp.matmul(xc, jnp.swapaxes(Wr[t], -1, -2),
+                       precision=jax.lax.Precision.HIGHEST)
+        rho = tuple(ta % m for ta in t)
+        pads = [(1, 0) if ta == m else (0, 1) for ta in t]
+        v = jnp.pad(v, pads + [(0, 0)])
+        slabs[rho] = slabs.get(rho, 0.0) + v
+    parts = jnp.stack(
+        [slabs[rho] for rho in np.ndindex(*(m,) * dim)], axis=0,
+    )  # (m^dim, Bc0+1, ..., Cf)
+    parts = parts.reshape((m,) * dim + parts.shape[1:])
+    perm = []
+    for a in range(dim):
+        perm += [dim + a, a]  # interleave (g_a, r_a)
+    perm.append(2 * dim)
+    parts = parts.transpose(perm)
+    full = parts.reshape(tuple(m * (b + 1) for b in Bc) + (Cf,))
+    return full[tuple(slice(0, b) for b in Bf) + (slice(None),)]
 
 
 def _kron_all(mats):
@@ -348,11 +419,36 @@ class MGPreconditioner:
         # per-level lambda_max(M^-1 K) estimates (power iteration) for the
         # Chebyshev smoother, M = the smoother preconditioner (patch
         # Schwarz or pointwise Jacobi — the penalty terms push Jacobi's
-        # lambda_max well above 2, so a fixed damping weight would diverge)
+        # lambda_max well above 2, so a fixed damping weight would diverge).
+        # Estimates are pure numbers determined by (elemental matrix,
+        # level shape, mask, smoother): cache them on disk — the power
+        # iterations recompile remotely whenever code changes and
+        # dominate large-problem setup time (~minutes per level on axon).
+        import hashlib
+        import json
+
+        cache_path = os.environ.get(
+            "PYNAMA_LAM_CACHE", "/tmp/pynama-lam-cache.json")
+        try:
+            lam_cache = json.load(open(cache_path))
+        except Exception:
+            lam_cache = {}
         rng = np.random.default_rng(7)
         self.lam_max = []           # for THIS preconditioner's smoother
         self.lam_max_jacobi = []    # Jacobi window (distributed V-cycle
+        cache_dirty = False
         for li, lvl in enumerate(self.levels):  # still smooths pointwise)
+            h = hashlib.sha1()
+            h.update(np.asarray(K_els[li]).astype(np.float64).tobytes())
+            h.update(np.asarray(lvl.mask, dtype=np.float64).tobytes())
+            h.update(repr((tuple(lvl.mesh.npts), self.smoother,
+                           str(dtype), galerkin)).encode())
+            key = h.hexdigest()
+            if key in lam_cache:
+                lam_p, lam_j = lam_cache[key]
+                self.lam_max.append(lam_p if lam_p is not None else lam_j)
+                self.lam_max_jacobi.append(lam_j)
+                continue
             dinv = 1.0 / (lvl.mask * lvl.diag + (1.0 - lvl.mask))
             jac = lambda v, dinv=dinv: dinv * v
             if self.patch_W is not None:
@@ -382,6 +478,13 @@ class MGPreconditioner:
                 lams.append(1.05 * float(power(x0)))
             self.lam_max.append(lams[0])
             self.lam_max_jacobi.append(lams[-1])
+            lam_cache[key] = (lams[0] if len(lams) > 1 else None, lams[-1])
+            cache_dirty = True
+        if cache_dirty:
+            try:
+                json.dump(lam_cache, open(cache_path, "w"))
+            except Exception:  # pragma: no cover - cache is best-effort
+                pass
 
         # dense inverse on the coarsest level (masked operator). The
         # penalty terms make kappa(K) ~ 1e5-1e6, so a float32 inverse is
@@ -495,6 +598,140 @@ class MGPreconditioner:
         return rc
 
     # ------------------------------------------------------------------
+    # blocked-native transfers: the grid path converts blocked -> grid ->
+    # blocked at every level boundary, and those transposes cost ~4x a
+    # conv apply at 1M dofs — they dominate the V-cycle once smoothing
+    # runs on the MXU. On uniform (un-padded) jumps the subcell transfer
+    # is a stride-m block map between the two levels' super-lattices
+    # (m = ratio * s_coarse / s_fine blocks), applied as (m+1)^dim
+    # block-aligned matmuls with reshape-interleave (no strided scatter,
+    # which the TPU serializes).
+    # ------------------------------------------------------------------
+    def _transfer_kernel(self, li, s_f=None, s_c=None):
+        """(Wr, m) for the li -> li+1 jump, or None when not admissible.
+
+        Wr[(d0..dd-1)][cf, cc]: the coarse super-block at index bc
+        accumulates (x_fine_blocked * mult_inv_b)[m*bc + d] @ Wr[d].
+        Built by probing the EXACT grid-path restriction (mult folded
+        out) with per-channel impulses on a small local mesh, on CPU.
+        s_f/s_c override the levels' own blocked periods (the
+        distributed path's LOCAL super factors can differ).
+        """
+        cache = getattr(self, "_tk_cache", None)
+        if cache is None:
+            cache = {}
+            self._tk_cache = cache
+        key = (li, s_f, s_c)
+        if key in cache:
+            return cache[key]
+        lvl, nxt = self.levels[li], self.levels[li + 1]
+        res = None
+        if lvl.ext_mesh is None and hasattr(lvl.K, "eff_ngl"):
+            sf = s_f if s_f is not None else lvl.K.eff_ngl - 1
+            sc = s_c if s_c is not None else nxt.K.eff_ngl - 1
+            r = lvl.ratio
+            if (r * sc) % sf == 0:
+                res = self._probe_transfer(li, sf, sc, r)
+        cache[key] = res
+        return res
+
+    def _probe_transfer(self, li, s_f, s_c, r):
+        import hashlib
+
+        import jax as _jax
+
+        from pynama_tpu.ops.conv import from_blocked_np, to_blocked_np
+
+        d = self.dim
+        N = self.elem.ngl
+        P = N - 1
+        m = r * s_c // s_f
+        # disk cache: the probe costs a (small) vmapped compile per
+        # (s_f, s_c, r) — skip it across processes
+        hh = hashlib.sha1()
+        hh.update(np.asarray(self.levels[li].interp_k,
+                             dtype=np.float64).tobytes())
+        hh.update(repr((N, d, s_f, s_c, r)).encode())
+        cdir = os.environ.get("PYNAMA_TK_CACHE", "/tmp/pynama-tk-cache")
+        cfile = os.path.join(cdir, hh.hexdigest() + ".npy")
+        if os.path.exists(cfile):
+            try:
+                Wr = np.load(cfile)
+                return jnp.asarray(Wr, dtype=self.dtype), m
+            except Exception:
+                pass
+        k = d
+        Cf, Cc = s_f**d * k, s_c**d * k
+        nel_c = tuple(3 * (s_c // P) for _ in range(d))
+        cm = BoxMesh(nelem=nel_c, lower=(0,) * d, upper=(1,) * d, ngl=N)
+        fm = BoxMesh(nelem=tuple(r * n for n in nel_c), lower=(0,) * d,
+                     upper=(1,) * d, ngl=N)
+        Bf = tuple((n - 1) // s_f + 1 for n in reversed(fm.npts))
+
+        lvl = self.levels[li]
+        probe_lvl = _Level(
+            mesh=fm, K=None, diag=None,
+            mask=None, ratio=r,
+            interp_k=np.asarray(lvl.interp_k, dtype=np.float64),
+            mult_inv=np.float64(1.0), ext_mesh=None,
+        )
+        taps = list(np.ndindex(*(m + 1,) * d))
+        batch = np.zeros((len(taps) * Cf,) + tuple(reversed(fm.npts)) + (k,))
+        for ti, t in enumerate(taps):
+            for cf in range(Cf):
+                xb = np.zeros(Bf + (Cf,))
+                xb[tuple(m + t[a] for a in range(d)) + (cf,)] = 1.0
+                batch[ti * Cf + cf] = from_blocked_np(
+                    xb, s_f + 1, tuple(reversed(fm.npts)))
+
+        # one vmapped jit on the default backend (the cpu backend is
+        # unavailable under the axon TPU plugin; the probe batch is small)
+        try:
+            ctx = _jax.default_device(_jax.devices("cpu")[0])
+        except RuntimeError:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            probe_lvl.interp_k = jnp.asarray(probe_lvl.interp_k)
+            rc = _jax.jit(
+                _jax.vmap(lambda g: self._restrict(probe_lvl, cm, g))
+            )(jnp.asarray(batch))
+            rc = np.asarray(rc)
+        Wr = np.zeros((len(taps), Cf, Cc))
+        for ti in range(len(taps)):
+            for cf in range(Cf):
+                rb = to_blocked_np(rc[ti * Cf + cf], s_c + 1)
+                Wr[ti, cf] = rb[(1,) * d]
+        Wr = Wr.reshape((m + 1,) * d + (Cf, Cc))
+        try:
+            os.makedirs(cdir, exist_ok=True)
+            np.save(cfile, Wr)
+        except Exception:  # pragma: no cover - cache is best-effort
+            pass
+        return jnp.asarray(Wr, dtype=self.dtype), m
+
+    def _blocked_restrict(self, li, xb, mult_b, pad_c):
+        """(Bf..., Cf) fine blocked residual -> (Bc..., Cc) coarse."""
+        Wr, m = self._transfer_kernel(li)
+        nxt = self.levels[li + 1]
+        s_c = nxt.K.eff_ngl - 1
+        Bc = tuple((n - 1) // s_c + 1
+                   for n in reversed(nxt.mesh.npts))
+        return blocked_restrict_apply(xb * mult_b, Wr, m, Bc,
+                                      self.dim) * pad_c
+
+    def _blocked_prolong(self, li, xc, mult_b, pad_f):
+        """Adjoint of _blocked_restrict: coarse blocked -> fine blocked."""
+        Wr, m = self._transfer_kernel(li)
+        lvl = self.levels[li]
+        s_f = lvl.K.eff_ngl - 1
+        Bf = tuple((n - 1) // s_f + 1
+                   for n in reversed(lvl.mesh.npts))
+        out = blocked_prolong_apply(xc, Wr, m, Bf, self.dim)
+        return out * mult_b * pad_f
+
+    # ------------------------------------------------------------------
     def build(self, fine_mask=None, start_level: int = 0) -> Callable:
         """Return M^{-1}(r) closing over the fine-level free-dof mask.
 
@@ -574,9 +811,29 @@ class MGPreconditioner:
                 rho = rho_new
             return x + d
 
+        from pynama_tpu.ops.conv import pad_mask
+
+        def tdata(li):
+            """(mult_b, pad_f, pad_c) for a blocked-native transfer."""
+            lvl, nxt = levels[li], levels[li + 1]
+            if getattr(lvl, "mult_b", None) is None:
+                lvl.mult_b = lvl.K.to_blocked(lvl.mult_inv)
+                lvl.pad_b = jnp.asarray(pad_mask(
+                    lvl.K.eff_ngl, tuple(reversed(lvl.mesh.npts)),
+                    self.dim), dtype=self.dtype)
+            if getattr(nxt, "pad_b", None) is None:
+                nxt.pad_b = jnp.asarray(pad_mask(
+                    nxt.K.eff_ngl, tuple(reversed(nxt.mesh.npts)),
+                    self.dim), dtype=self.dtype)
+            return lvl.mult_b, lvl.pad_b, nxt.pad_b
+
         def restrict(li, res):
             lvl = levels[li]
             nxt = levels[li + 1]
+            gli = start_level + li
+            if blocked and self._transfer_kernel(gli) is not None:
+                mult_b, _, pad_c = tdata(li)
+                return self._blocked_restrict(gli, res, mult_b, pad_c)
             if blocked:
                 res = lvl.K.from_blocked(res)
             rc = self._restrict(lvl, nxt.mesh, res)
@@ -585,6 +842,10 @@ class MGPreconditioner:
         def prolong(li, xc):
             lvl = levels[li]
             nxt = levels[li + 1]
+            gli = start_level + li
+            if blocked and self._transfer_kernel(gli) is not None:
+                mult_b, pad_f, _ = tdata(li)
+                return self._blocked_prolong(gli, xc, mult_b, pad_f)
             if blocked:
                 xc = nxt.K.from_blocked(xc)
             xf = self._prolong(lvl, nxt.mesh, xc)

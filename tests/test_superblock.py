@@ -103,3 +103,31 @@ def test_pick_super_factor():
     assert pick_super_factor((32, 32, 80), 3, 3) == 2
     assert pick_super_factor((359, 359), 3, 2) == 1   # prime: parity
     assert pick_super_factor((16, 16), 9, 2) == 1     # lanes already full
+
+
+def test_blocked_mg_transfers_match_grid_path():
+    """Blocked-native MG transfers == grid-path transfers (same V-cycle)."""
+    import jax.numpy as jnp
+
+    from pynama_tpu.elements.spectral import SpectralElement
+    from pynama_tpu.mesh.structured import BoxMesh
+    from pynama_tpu.solvers.multigrid import MGPreconditioner
+
+    mesh = BoxMesh(nelem=(16, 16), lower=(0, 0), upper=(1, 1), ngl=3)
+    elem = SpectralElement(3, 2)
+    mg = MGPreconditioner(mesh, elem, dtype=jnp.float64,
+                          coarsest_max_dofs=200)
+    assert mg.usable
+    assert mg._transfer_kernel(0) is not None
+    mask_b = mg.levels[0].mask_b
+    minv_blocked = mg.build(mask_b)
+
+    mg._tk_cache = {li: None for li in range(len(mg.levels))}
+    minv_grid = mg.build(mask_b)
+
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.normal(size=mask_b.shape)) * mask_b
+    y_b = np.asarray(minv_blocked(r))
+    y_g = np.asarray(minv_grid(r))
+    err = np.abs(y_b - y_g).max() / np.abs(y_g).max()
+    assert err < 1e-12, err

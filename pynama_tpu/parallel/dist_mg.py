@@ -302,12 +302,17 @@ def _margin_sum(y_ext, gl, gh, B0, axis, n_dev):
     return core
 
 
-def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
+def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask,
+              fine_boundary_free=True):
     """Build the distributed V-cycle closure INSIDE a shard_map body.
 
     stacked_local: per-level dicts with the leading slab axis already
     squeezed; repl: the replicated pytree; fine_mask: the caller's
-    fine-level free mask (solver layout, local).
+    fine-level free mask (solver layout, local). fine_boundary_free:
+    does the GLOBAL solve mask free any domain-boundary dof? If so,
+    level 0 keeps the grid-path transfer (the probed kernels' phantom
+    windows read boundary planes — exact only on zero-boundary
+    operands; see MGPreconditioner.build).
     """
     N, dim = meta.ngl, meta.dim
     nlev = len(stacked_local)
@@ -404,10 +409,17 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
         return tuple((n - 1) // s + 1
                      for n in reversed(meta.local_npts[li]))
 
+    def tk_tm(li):
+        if not meta.tms:
+            return None
+        if li == 0 and fine_boundary_free:
+            return None
+        return meta.tms[li]
+
     def restrict(li, res):
         """Fine local residual (solver layout) -> coarse (solver layout)."""
         lvl = stacked_local[li]
-        tm = meta.tms[li] if meta.tms else None
+        tm = tk_tm(li)
         if blocked and tm is not None:
             from pynama_tpu.solvers.multigrid import blocked_restrict_apply
 
@@ -442,7 +454,7 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask):
     def prolong(li, xc):
         """Coarse local correction -> fine (solver layout)."""
         lvl = stacked_local[li]
-        tm = meta.tms[li] if meta.tms else None
+        tm = tk_tm(li)
         if blocked and tm is not None:
             from pynama_tpu.solvers.multigrid import blocked_prolong_apply
 

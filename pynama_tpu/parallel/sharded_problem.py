@@ -169,6 +169,16 @@ class ShardedNSProblem:
             from pynama_tpu.parallel.dist_mg import build_dist_mg
 
             self._dmg = build_dist_mg(mg, self)
+        # does the GLOBAL solve mask free boundary dofs? (level-0
+        # blocked-transfer gate in dist_mg.make_minv)
+        from pynama_tpu.ops.conv import mask_frees_boundary
+
+        npg = tuple(reversed(m.npts))
+        self._bfree = mask_frees_boundary(
+            np.asarray(problem.free_mask).reshape(npg + (dim,)), N, npg)
+        self._bfree_fs = (mask_frees_boundary(
+            np.asarray(fm_fs).reshape(npg + (dim,)), N, npg)
+            if fm_fs is not None else True)
 
     def _owned(self, k):
         """Owned-dof weights in solver layout (pad slots 0)."""
@@ -331,8 +341,10 @@ class ShardedNSProblem:
                 return (None, None)
             from pynama_tpu.parallel.dist_mg import make_minv
 
-            fin = make_minv(mg_meta, mg_st_loc, mg_rp, loc_mask)
-            fs = (make_minv(mg_meta, mg_st_loc, mg_rp, loc_mask_fs)
+            fin = make_minv(mg_meta, mg_st_loc, mg_rp, loc_mask,
+                            fine_boundary_free=self._bfree)
+            fs = (make_minv(mg_meta, mg_st_loc, mg_rp, loc_mask_fs,
+                            fine_boundary_free=self._bfree_fs)
                   if has_fs else None)
             return (fs, fin)
 
@@ -421,8 +433,10 @@ class ShardedNSProblem:
                 from pynama_tpu.parallel.dist_mg import make_minv
 
                 mg_loc = sq(mg_stacked)
-                fin = make_minv(mg_meta, mg_loc, mg_rp, loc[1])
-                fs = (make_minv(mg_meta, mg_loc, mg_rp, loc[2])
+                fin = make_minv(mg_meta, mg_loc, mg_rp, loc[1],
+                                fine_boundary_free=self._bfree)
+                fs = (make_minv(mg_meta, mg_loc, mg_rp, loc[2],
+                                fine_boundary_free=self._bfree_fs)
                       if has_fs else None)
                 minvs = (fs, fin)
             else:

@@ -813,25 +813,46 @@ class MGPreconditioner:
 
         from pynama_tpu.ops.conv import pad_mask
 
+        # The probed transfer kernels are translation-invariant: their
+        # phantom windows read the fine BOUNDARY planes, so they equal
+        # the grid-path transfers exactly only when the operand's
+        # boundary values are zero. That holds on every level >= 1
+        # (coarse operands are Dirichlet-masked) and on level 0 iff the
+        # solve mask pins the boundary (corr0 False). Level 0 of masks
+        # that free boundary dofs (e.g. cavity wall tangentials) keeps
+        # the grid-path transfer.
+        def tk_ok(li):
+            if li == 0 and corr0:
+                return False
+            return self._transfer_kernel(start_level + li) is not None
+
+        if blocked:
+            # probe transfer kernels + blocked aux fields EAGERLY: the
+            # probe runs jit+numpy readback, and caching traced arrays
+            # on the levels would leak tracers — neither may happen
+            # inside a traced V-cycle
+            for li in range(nlev - 1):
+                if not tk_ok(li):
+                    continue
+                for l_ in (levels[li], levels[li + 1]):
+                    if getattr(l_, "pad_b", None) is None:
+                        l_.pad_b = jnp.asarray(pad_mask(
+                            l_.K.eff_ngl, tuple(reversed(l_.mesh.npts)),
+                            self.dim), dtype=self.dtype)
+                if getattr(levels[li], "mult_b", None) is None:
+                    levels[li].mult_b = levels[li].K.to_blocked(
+                        levels[li].mult_inv)
+
         def tdata(li):
             """(mult_b, pad_f, pad_c) for a blocked-native transfer."""
             lvl, nxt = levels[li], levels[li + 1]
-            if getattr(lvl, "mult_b", None) is None:
-                lvl.mult_b = lvl.K.to_blocked(lvl.mult_inv)
-                lvl.pad_b = jnp.asarray(pad_mask(
-                    lvl.K.eff_ngl, tuple(reversed(lvl.mesh.npts)),
-                    self.dim), dtype=self.dtype)
-            if getattr(nxt, "pad_b", None) is None:
-                nxt.pad_b = jnp.asarray(pad_mask(
-                    nxt.K.eff_ngl, tuple(reversed(nxt.mesh.npts)),
-                    self.dim), dtype=self.dtype)
             return lvl.mult_b, lvl.pad_b, nxt.pad_b
 
         def restrict(li, res):
             lvl = levels[li]
             nxt = levels[li + 1]
             gli = start_level + li
-            if blocked and self._transfer_kernel(gli) is not None:
+            if blocked and tk_ok(li):
                 mult_b, _, pad_c = tdata(li)
                 return self._blocked_restrict(gli, res, mult_b, pad_c)
             if blocked:
@@ -843,7 +864,7 @@ class MGPreconditioner:
             lvl = levels[li]
             nxt = levels[li + 1]
             gli = start_level + li
-            if blocked and self._transfer_kernel(gli) is not None:
+            if blocked and tk_ok(li):
                 mult_b, pad_f, _ = tdata(li)
                 return self._blocked_prolong(gli, xc, mult_b, pad_f)
             if blocked:

@@ -131,3 +131,32 @@ def test_blocked_mg_transfers_match_grid_path():
     y_g = np.asarray(minv_grid(r))
     err = np.abs(y_b - y_g).max() / np.abs(y_g).max()
     assert err < 1e-12, err
+
+
+def test_blocked_mg_transfers_boundary_free_mask():
+    """Masks that free boundary dofs keep level-0 grid transfers and
+    still match the all-grid V-cycle."""
+    import jax.numpy as jnp
+
+    from pynama_tpu.elements.spectral import SpectralElement
+    from pynama_tpu.mesh.structured import BoxMesh
+    from pynama_tpu.solvers.multigrid import MGPreconditioner
+
+    mesh = BoxMesh(nelem=(16, 16), lower=(0, 0), upper=(1, 1), ngl=3)
+    elem = SpectralElement(3, 2)
+    mg = MGPreconditioner(mesh, elem, dtype=jnp.float64,
+                          coarsest_max_dofs=200)
+    # cavity-like mask: tangential (x) dofs free on the whole boundary
+    m = np.ones(tuple(reversed(mesh.npts)) + (2,))
+    m[0, :, :] = m[-1, :, :] = (1.0, 0.0)
+    m[:, 0, :] = m[:, -1, :] = (1.0, 0.0)
+    mask_b = mg.levels[0].K.to_blocked(jnp.asarray(m))
+    minv_blocked = mg.build(mask_b)
+    mg._tk_cache = {k: None for k in list(mg._tk_cache.keys())}
+    minv_grid = mg.build(mask_b)
+    rng = np.random.default_rng(5)
+    r = jnp.asarray(rng.normal(size=mask_b.shape)) * mask_b
+    y_b = np.asarray(minv_blocked(r))
+    y_g = np.asarray(minv_grid(r))
+    err = np.abs(y_b - y_g).max() / np.abs(y_g).max()
+    assert err < 1e-12, err

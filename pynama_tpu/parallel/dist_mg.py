@@ -213,12 +213,16 @@ def build_dist_mg(mg, sharded):
                     for d in range(n_dev)
                 ])
             rp["interp"] = lvl.interp_k
-            # blocked-native transfer kernel at the LOCAL periods
+            # blocked-native transfer kernel at the LOCAL periods; the
+            # margin machinery below covers one ghost block per side, so
+            # only kernels whose tap window stays within that (upward
+            # restrict reach e_lo//m == 0) qualify — parity-level kernels
+            # (m == r, e_lo == r) keep the grid path
             tk = (mg._transfer_kernel(li, effs[li] - 1, effs[li + 1] - 1)
                   if sharded.blocked else None)
-            if tk is not None:
+            if tk is not None and tk[2] // tk[1] == 0:
                 rp["Wt"] = jnp.asarray(tk[0], dtype=dtype)
-                meta.tms.append(tk[1])
+                meta.tms.append((tk[1], tk[2]))
             else:
                 meta.tms.append(None)
         stacked.append(st)
@@ -424,18 +428,22 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask,
             from pynama_tpu.solvers.multigrid import blocked_restrict_apply
 
             # kernel-form restriction: halve interface-plane inputs
-            # (ownership shares), compute one DOWNWARD ghost block, and
-            # margin-sum — cell contributions cannot be attributed to a
-            # side in kernel form, so the patch-apply linearity trick
-            # replaces the grid path's per-cell locality + plane halo
+            # (ownership shares), compute the downward ghost blocks the
+            # tap window can reach, and margin-sum — cell contributions
+            # cannot be attributed to a side in kernel form, so the
+            # patch-apply linearity trick replaces the grid path's
+            # per-cell locality + plane halo
+            m, e_lo = tm
+            T = repl["levels"][li]["Wt"].shape[0]
+            e_hi = T - 1 - e_lo - m
+            gl = (m + e_hi) // m
             Bc = _B_loc(li + 1)
             x = res * lvl["mult_b"] * lvl["half"]
-            xp = jnp.pad(x, ((tm, 0),) + ((0, 0),) * (x.ndim - 1))
             rc_ext = blocked_restrict_apply(
-                xp, repl["levels"][li]["Wt"], tm,
-                (Bc[0] + 1,) + Bc[1:], dim,
+                x, repl["levels"][li]["Wt"], m, e_lo, Bc, dim,
+                lo_ghost=gl,
             )
-            return _margin_sum(rc_ext, 1, 0, Bc[0], axis, n_dev)
+            return _margin_sum(rc_ext, gl, 0, Bc[0], axis, n_dev)
         ratio = meta.ratios[li]
         interp = repl["levels"][li]["interp"]
         rf = to_grid(li, res) * lvl["mult"]
@@ -458,13 +466,16 @@ def make_minv(meta: _DistMGMeta, stacked_local, repl, fine_mask,
         if blocked and tm is not None:
             from pynama_tpu.solvers.multigrid import blocked_prolong_apply
 
+            m, e_lo = tm
+            T = repl["levels"][li]["Wt"].shape[0]
+            e_hi = T - 1 - e_lo - m
             Bf = _B_loc(li)
             xo = xc * stacked_local[li + 1]["half"]
             y_ext = blocked_prolong_apply(
-                xo, repl["levels"][li]["Wt"], tm,
-                (Bf[0] + tm,) + Bf[1:], dim,
+                xo, repl["levels"][li]["Wt"], m, e_lo, Bf, dim,
+                lo_ghost=e_lo, hi_ghost=m + e_hi,
             )
-            y = _margin_sum(y_ext, 0, tm, Bf[0], axis, n_dev)
+            y = _margin_sum(y_ext, e_lo, m + e_hi, Bf[0], axis, n_dev)
             return y * lvl["mult_b"]
         ratio = meta.ratios[li]
         interp = repl["levels"][li]["interp"]

@@ -59,64 +59,94 @@ def _group_axis(x, axis, m, Bc):
     return x.reshape(shape)
 
 
-def blocked_restrict_apply(x, Wr, m, Bc, dim):
+def blocked_restrict_apply(x, Wr, m, e_lo, Bc, dim, lo_ghost=0,
+                           hi_ghost=0):
     """Stride-m block restriction on super-blocked tensors.
 
     x: (Bf..., Cf) fine blocked (already multiplied by the blocked
     1/multiplicity weights; pad slots zero). Coarse block bc accumulates
-    x[m*bc + t] @ Wr[t] over taps t in [0, m]^dim — implemented by
+    x[m*bc + t - e_lo] @ Wr[t] over taps t in [0, T) per axis — the tap
+    window spans [-e_lo, T-1-e_lo] fine blocks because restriction rows
+    reach r*P fine nodes past a coarse block's own fine image (the cells
+    containing a coarse node stick out of the block). Implemented by
     grouping each axis into (group, residue) so every tap is a plain
-    (non-strided) slice; the TPU serializes strided scatter/slices.
+    (non-strided) slice; the TPU serializes strided slicing.
+
+    lo_ghost > 0 additionally computes that many ghost coarse blocks
+    BELOW index 0 on axis 0 (leading output axis size Bc[0]+lo_ghost,
+    ghost first) — the distributed path's downward margin.
     """
+    T = Wr.shape[0]
+    Bc_out = (Bc[0] + lo_ghost + hi_ghost,) + tuple(Bc[1:])
+    # shift so tap t reads shifted block m*bc + t (+ ghosts below)
+    pads = [(e_lo + m * lo_ghost, 0)] + [(e_lo, 0)] * (dim - 1)
+    x = jnp.pad(x, pads + [(0, 0)])
+    n_extra = -(-T // m) + 1  # groups beyond Bc needed by the taps
     for a in range(dim):
-        # grouping axis a shifts later spatial axes right by one, so
-        # original axis a sits at index 2a when its turn comes
-        x = _group_axis(x, 2 * a, m, Bc[a])
+        x = _group_axis(x, 2 * a, m, Bc_out[a] + n_extra - 1)
     out = None
-    for t in np.ndindex(*(m + 1,) * dim):
+    for t in np.ndindex(*(T,) * dim):
         idx = []
         for a in range(dim):
-            if t[a] < m:
-                idx += [slice(0, Bc[a]), t[a]]
-            else:
-                idx += [slice(1, Bc[a] + 1), 0]
+            idx += [slice(t[a] // m, Bc_out[a] + t[a] // m), t[a] % m]
         sl = x[tuple(idx) + (slice(None),)]
         v = jnp.matmul(sl, Wr[t], precision=jax.lax.Precision.HIGHEST)
         out = v if out is None else out + v
     return out
 
 
-def blocked_prolong_apply(xc, Wr, m, Bf, dim):
+def blocked_prolong_apply(xc, Wr, m, e_lo, Bf, dim, lo_ghost=0,
+                          hi_ghost=0):
     """Adjoint of blocked_restrict_apply (before multiplicity weights).
 
     xc: (Bc..., Cc) coarse blocked correction with zero pad slots.
     Returns the (Bf..., Cf) fine blocked scatter; callers multiply by
     the fine blocked 1/multiplicity weights (and complete slab halos in
-    the distributed path) afterwards.
+    the distributed path) afterwards. lo_ghost > 0 prepends that many
+    ghost FINE blocks below index 0 on axis 0 (output leading axis
+    Bf[0]+lo_ghost, ghost first).
     """
+    T = Wr.shape[0]
     Bc = xc.shape[:dim]
     Cf = Wr.shape[-2]
-    # per residue-class slab rho: fine blocks m*g + rho collect taps t
-    # with t mod m == rho (t == m lands in group g+1, residue 0)
+    # fine block m*bc + (t - e_lo): group shift s_t = floor((t-e_lo)/m),
+    # residue (t - e_lo) mod m; s_t ranges over [smin, smax]
+    shifts = [( (t - e_lo) // m, (t - e_lo) % m) for t in range(T)]
+    smin = min(s for s, _ in shifts)
+    smax = max(s for s, _ in shifts)
+    nsl = smax - smin + 1  # slab positions per axis: group = p + smin
     slabs = {}
-    for t in np.ndindex(*(m + 1,) * dim):
+    for t in np.ndindex(*(T,) * dim):
         v = jnp.matmul(xc, jnp.swapaxes(Wr[t], -1, -2),
                        precision=jax.lax.Precision.HIGHEST)
-        rho = tuple(ta % m for ta in t)
-        pads = [(1, 0) if ta == m else (0, 1) for ta in t]
+        rho = tuple(shifts[ta][1] for ta in t)
+        pads = [(shifts[ta][0] - smin, smax - shifts[ta][0]) for ta in t]
         v = jnp.pad(v, pads + [(0, 0)])
         slabs[rho] = slabs.get(rho, 0.0) + v
-    parts = jnp.stack(
-        [slabs[rho] for rho in np.ndindex(*(m,) * dim)], axis=0,
-    )  # (m^dim, Bc0+1, ..., Cf)
+    zero = None
+    parts = []
+    for rho in np.ndindex(*(m,) * dim):
+        if rho in slabs:
+            parts.append(slabs[rho])
+        else:
+            if zero is None:
+                zero = jnp.zeros(
+                    tuple(b + nsl - 1 for b in Bc) + (Cf,), xc.dtype)
+            parts.append(zero)
+    parts = jnp.stack(parts, axis=0)
     parts = parts.reshape((m,) * dim + parts.shape[1:])
     perm = []
     for a in range(dim):
         perm += [dim + a, a]  # interleave (g_a, r_a)
     perm.append(2 * dim)
     parts = parts.transpose(perm)
-    full = parts.reshape(tuple(m * (b + 1) for b in Bc) + (Cf,))
-    return full[tuple(slice(0, b) for b in Bf) + (slice(None),)]
+    full = parts.reshape(tuple(m * (b + nsl - 1) for b in Bc) + (Cf,))
+    # slab p=0 is group smin: fine block m*(p + smin) + rho
+    off = -m * smin  # full index of fine block 0
+    sl = (slice(off - lo_ghost, off + Bf[0] + hi_ghost),) + tuple(
+        slice(off, off + Bf[a]) for a in range(1, dim)
+    ) + (slice(None),)
+    return full[sl]
 
 
 def _kron_all(mats):
@@ -646,23 +676,29 @@ class MGPreconditioner:
         N = self.elem.ngl
         P = N - 1
         m = r * s_c // s_f
+        # restriction rows reach r*P fine nodes past a coarse block's own
+        # fine image (the cells containing a coarse node stick out of the
+        # block), so the tap window spans [-e_lo, m + e_hi] fine blocks
+        e_lo = -(-(r * P) // s_f)
+        e_hi = (r * (P - 1)) // s_f
+        T = e_lo + m + e_hi + 1
         # disk cache: the probe costs a (small) vmapped compile per
         # (s_f, s_c, r) — skip it across processes
         hh = hashlib.sha1()
         hh.update(np.asarray(self.levels[li].interp_k,
                              dtype=np.float64).tobytes())
-        hh.update(repr((N, d, s_f, s_c, r)).encode())
+        hh.update(repr((N, d, s_f, s_c, r, "v2")).encode())
         cdir = os.environ.get("PYNAMA_TK_CACHE", "/tmp/pynama-tk-cache")
         cfile = os.path.join(cdir, hh.hexdigest() + ".npy")
         if os.path.exists(cfile):
             try:
                 Wr = np.load(cfile)
-                return jnp.asarray(Wr, dtype=self.dtype), m
+                return jnp.asarray(Wr, dtype=self.dtype), m, e_lo
             except Exception:
                 pass
         k = d
         Cf, Cc = s_f**d * k, s_c**d * k
-        nel_c = tuple(3 * (s_c // P) for _ in range(d))
+        nel_c = tuple(5 * (s_c // P) for _ in range(d))
         cm = BoxMesh(nelem=nel_c, lower=(0,) * d, upper=(1,) * d, ngl=N)
         fm = BoxMesh(nelem=tuple(r * n for n in nel_c), lower=(0,) * d,
                      upper=(1,) * d, ngl=N)
@@ -675,17 +711,20 @@ class MGPreconditioner:
             interp_k=np.asarray(lvl.interp_k, dtype=np.float64),
             mult_inv=np.float64(1.0), ext_mesh=None,
         )
-        taps = list(np.ndindex(*(m + 1,) * d))
+        # impulses at fine block 2m + (t - e_lo); response at coarse (2,)
+        assert 2 * m - e_lo >= 1 and 3 * m + e_hi < 5 * m
+        taps = list(np.ndindex(*(T,) * d))
         batch = np.zeros((len(taps) * Cf,) + tuple(reversed(fm.npts)) + (k,))
         for ti, t in enumerate(taps):
             for cf in range(Cf):
                 xb = np.zeros(Bf + (Cf,))
-                xb[tuple(m + t[a] for a in range(d)) + (cf,)] = 1.0
+                xb[tuple(2 * m + t[a] - e_lo for a in range(d))
+                   + (cf,)] = 1.0
                 batch[ti * Cf + cf] = from_blocked_np(
                     xb, s_f + 1, tuple(reversed(fm.npts)))
 
-        # one vmapped jit on the default backend (the cpu backend is
-        # unavailable under the axon TPU plugin; the probe batch is small)
+        # vmapped jit on the default backend (the cpu backend is
+        # unavailable under the axon TPU plugin), chunked to bound memory
         try:
             ctx = _jax.default_device(_jax.devices("cpu")[0])
         except RuntimeError:
@@ -694,41 +733,49 @@ class MGPreconditioner:
             ctx = contextlib.nullcontext()
         with ctx:
             probe_lvl.interp_k = jnp.asarray(probe_lvl.interp_k)
-            rc = _jax.jit(
+            fn = _jax.jit(
                 _jax.vmap(lambda g: self._restrict(probe_lvl, cm, g))
-            )(jnp.asarray(batch))
-            rc = np.asarray(rc)
+            )
+            step = 256
+            chunks = []
+            for i0 in range(0, len(batch), step):
+                chunk = batch[i0:i0 + step]
+                if len(chunk) < step:  # one compiled shape for all chunks
+                    chunk = np.pad(chunk, ((0, step - len(chunk)),)
+                                   + ((0, 0),) * (batch.ndim - 1))
+                chunks.append(np.asarray(fn(jnp.asarray(chunk))))
+            rc = np.concatenate(chunks)[:len(batch)]
         Wr = np.zeros((len(taps), Cf, Cc))
         for ti in range(len(taps)):
             for cf in range(Cf):
                 rb = to_blocked_np(rc[ti * Cf + cf], s_c + 1)
-                Wr[ti, cf] = rb[(1,) * d]
-        Wr = Wr.reshape((m + 1,) * d + (Cf, Cc))
+                Wr[ti, cf] = rb[(2,) * d]
+        Wr = Wr.reshape((T,) * d + (Cf, Cc))
         try:
             os.makedirs(cdir, exist_ok=True)
             np.save(cfile, Wr)
         except Exception:  # pragma: no cover - cache is best-effort
             pass
-        return jnp.asarray(Wr, dtype=self.dtype), m
+        return jnp.asarray(Wr, dtype=self.dtype), m, e_lo
 
-    def _blocked_restrict(self, li, xb, mult_b, pad_c):
+    def _blocked_restrict(self, li, xb, mult_b, pad_c, tk=None):
         """(Bf..., Cf) fine blocked residual -> (Bc..., Cc) coarse."""
-        Wr, m = self._transfer_kernel(li)
+        Wr, m, e_lo = tk if tk is not None else self._transfer_kernel(li)
         nxt = self.levels[li + 1]
         s_c = nxt.K.eff_ngl - 1
         Bc = tuple((n - 1) // s_c + 1
                    for n in reversed(nxt.mesh.npts))
-        return blocked_restrict_apply(xb * mult_b, Wr, m, Bc,
+        return blocked_restrict_apply(xb * mult_b, Wr, m, e_lo, Bc,
                                       self.dim) * pad_c
 
-    def _blocked_prolong(self, li, xc, mult_b, pad_f):
+    def _blocked_prolong(self, li, xc, mult_b, pad_f, tk=None):
         """Adjoint of _blocked_restrict: coarse blocked -> fine blocked."""
-        Wr, m = self._transfer_kernel(li)
+        Wr, m, e_lo = tk if tk is not None else self._transfer_kernel(li)
         lvl = self.levels[li]
         s_f = lvl.K.eff_ngl - 1
         Bf = tuple((n - 1) // s_f + 1
                    for n in reversed(lvl.mesh.npts))
-        out = blocked_prolong_apply(xc, Wr, m, Bf, self.dim)
+        out = blocked_prolong_apply(xc, Wr, m, e_lo, Bf, self.dim)
         return out * mult_b * pad_f
 
     # ------------------------------------------------------------------
@@ -821,19 +868,18 @@ class MGPreconditioner:
         # solve mask pins the boundary (corr0 False). Level 0 of masks
         # that free boundary dofs (e.g. cavity wall tangentials) keeps
         # the grid-path transfer.
-        def tk_ok(li):
-            if li == 0 and corr0:
-                return False
-            return self._transfer_kernel(start_level + li) is not None
-
+        # decisions FROZEN at build time: the probe runs jit+numpy
+        # readback and caching traced arrays on the levels would leak
+        # tracers — neither may happen inside a traced V-cycle
+        tk_use = [None] * max(nlev - 1, 0)
         if blocked:
-            # probe transfer kernels + blocked aux fields EAGERLY: the
-            # probe runs jit+numpy readback, and caching traced arrays
-            # on the levels would leak tracers — neither may happen
-            # inside a traced V-cycle
             for li in range(nlev - 1):
-                if not tk_ok(li):
+                if li == 0 and corr0:
                     continue
+                tk = self._transfer_kernel(start_level + li)
+                if tk is None:
+                    continue
+                tk_use[li] = tk
                 for l_ in (levels[li], levels[li + 1]):
                     if getattr(l_, "pad_b", None) is None:
                         l_.pad_b = jnp.asarray(pad_mask(
@@ -852,9 +898,10 @@ class MGPreconditioner:
             lvl = levels[li]
             nxt = levels[li + 1]
             gli = start_level + li
-            if blocked and tk_ok(li):
+            if blocked and tk_use[li] is not None:
                 mult_b, _, pad_c = tdata(li)
-                return self._blocked_restrict(gli, res, mult_b, pad_c)
+                return self._blocked_restrict(gli, res, mult_b, pad_c,
+                                              tk=tk_use[li])
             if blocked:
                 res = lvl.K.from_blocked(res)
             rc = self._restrict(lvl, nxt.mesh, res)
@@ -864,9 +911,10 @@ class MGPreconditioner:
             lvl = levels[li]
             nxt = levels[li + 1]
             gli = start_level + li
-            if blocked and tk_ok(li):
+            if blocked and tk_use[li] is not None:
                 mult_b, pad_f, _ = tdata(li)
-                return self._blocked_prolong(gli, xc, mult_b, pad_f)
+                return self._blocked_prolong(gli, xc, mult_b, pad_f,
+                                             tk=tk_use[li])
             if blocked:
                 xc = nxt.K.from_blocked(xc)
             xf = self._prolong(lvl, nxt.mesh, xc)

@@ -175,7 +175,12 @@ def make_bs5_host_stepper(
     A = jnp.asarray(BS5_A)
 
     def _combine(w, ks):
-        return jnp.tensordot(w, ks, axes=1)
+        # ks is a TUPLE of per-stage arrays: every eager big-array op in
+        # the host loop is a separate dispatch (and on sharded arrays a
+        # resharding pass) over the axon tunnel — keeping the stage
+        # derivatives as a pytree makes each stage exactly ONE jitted
+        # dispatch with the stack/combine fused inside the program
+        return jnp.tensordot(w, jnp.stack(ks), axes=1)
 
     @jax.jit
     def stage_fn(a_row, c, ks, y, t, dt, aux):
@@ -194,16 +199,19 @@ def make_bs5_host_stepper(
         dt = float(min(float(dt), float(t_end) - float(t)))
         if max_dt is not None:
             dt = min(dt, float(max_dt))
+        zero = None
         for _ in range(max_attempts):
-            ks = jnp.zeros((BS5_STAGES,) + y.shape, dtype=y.dtype).at[0].set(f1)
+            if zero is None:
+                zero = jnp.zeros_like(f1)
+            ks = [f1] + [zero] * (BS5_STAGES - 1)
             aux_c = aux
             for i in range(1, BS5_STAGES):
                 fi, aux_c = stage_fn(
-                    A[i], float(BS5_C[i]), ks, y,
+                    A[i], float(BS5_C[i]), tuple(ks), y,
                     jnp.asarray(t, y.dtype), jnp.asarray(dt, y.dtype), aux_c,
                 )
-                ks = ks.at[i].set(fi)
-            y5, wlte = finish_fn(ks, y, jnp.asarray(t, y.dtype),
+                ks[i] = fi
+            y5, wlte = finish_fn(tuple(ks), y, jnp.asarray(t, y.dtype),
                                  jnp.asarray(dt, y.dtype))
             w = float(wlte)
             factor = float(np.clip(safety * max(w, 1e-30) ** (-1.0 / BS5_ORDER),

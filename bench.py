@@ -200,7 +200,8 @@ def bench_ours(refine=False):
     import jax.numpy as jnp
 
     from pynama_tpu.cases.cavity import CavityProblem
-    from pynama_tpu.solvers.rk import make_bs5_host_stepper
+    from pynama_tpu.solvers.rk import (make_attempt_host_stepper,
+                                       make_bs5_scan_attempt)
 
     if refine:
         dtype = jnp.float64
@@ -216,10 +217,13 @@ def bench_ours(refine=False):
     def rhs(t, w, vel_ws):
         return p.transport_rhs(t, w, vel_ws)
 
-    # host-staged stepper (the fully-inlined program OOMs the compiler at
-    # this size); huge tolerances -> every attempt accepted -> fixed-dt
-    # stepping, so the measured work per step is exactly 7 RHS evals
-    step = make_bs5_host_stepper(rhs, atol=1e12, rtol=1e12)
+    # host dt controller + ONE compiled dispatch per attempt (the 7 RHS
+    # stages lax.scan inside — the fully-inlined adaptive program OOMs
+    # the compiler at this size); huge tolerances -> every attempt
+    # accepted -> fixed-dt stepping, so the measured work per step is
+    # exactly 7 RHS evals
+    attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12))
+    step = make_attempt_host_stepper(attempt)
 
     w = p.initial_vorticity()
     vel = p.zero_vel()
@@ -295,7 +299,7 @@ def bench_sharded(n_dev):
 
     from pynama_tpu.cases.cavity import CavityProblem
     from pynama_tpu.parallel.sharded_problem import ShardedNSProblem
-    from pynama_tpu.solvers.rk import make_bs5_host_stepper
+    from pynama_tpu.solvers.rk import make_attempt_host_stepper
 
     dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
     cfg = cavity_config()
@@ -312,7 +316,10 @@ def bench_sharded(n_dev):
         f, vel = rhs_fn(w, aux, t)
         return f, vel
 
-    step = make_bs5_host_stepper(rhs, atol=1e12, rtol=1e12)
+    # one compiled SPMD dispatch per BS5 attempt (7 stages scan inside)
+    attempt = sp.build_attempt(kle_rtol=KLE_RTOL, kle_maxiter=p.kle_maxiter,
+                               atol=1e12, rtol=1e12)
+    step = make_attempt_host_stepper(attempt)
     w = sp.shard(np.zeros(p.mesh.n_nodes * p.dim_w), p.dim_w)
     vel = sp.shard(np.zeros(n_dofs), p.dim)
     t = jnp.asarray(0.0, dtype=dtype)

@@ -14,9 +14,17 @@ column range and are cropped by the final slice; the column zero-pads
 between rows isolate the taps exactly (zero-extension semantics,
 matching conv_blocked's jnp.pad).
 
-Scope: f32, 2D blocked tensors without leading batch dims, TPU backend,
-channels >= 64 (the parity layout should super-block first). Everything
-else falls back to the XLA path.
+Scope: f32, 2D/3D blocked tensors without leading batch dims, TPU
+backend, channels >= 64 (the parity layout should super-block first).
+Everything else falls back to the XLA path.
+
+3D uses the same flat-window trick one axis deeper: the (B2, B3) planes
+of a leading-axis stripe are stored row-major into one 2D scratch with
+W2 = B2+2Q, W3 = B3+2Q padded pitches, so tap (q1, q2, q3) is the
+contiguous row slice starting at (q1*W2 + q2)*W3 + q3 and the 27 taps
+are 27 large 2D matmuls. The stripe height TR is planned against the
+VMEM budget per shape (the 2D kernel's fixed 16 can exceed VMEM at 3D
+channel counts).
 """
 
 from functools import lru_cache, partial
@@ -42,39 +50,72 @@ def _backend_is_tpu():
         return False
 
 
-def pallas_ok(xb_shape, dtype, w_shape):
-    """Can the tiled flat-window VMEM kernel handle this apply?"""
+def _tiled(shape):  # VMEM bytes incl. (8, 128) tile padding, f32
+    pad = list(shape)
+    pad[-1] = -(-pad[-1] // 128) * 128
+    if len(pad) >= 2:
+        pad[-2] = -(-pad[-2] // 8) * 8
+    return int(np.prod(pad)) * 4
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+@lru_cache(maxsize=None)
+def _plan(xb_shape, dtype, w_shape):
+    """Stripe height TR for the flat-window kernel, or None (fallback)."""
     if not _backend_is_tpu():
-        return False
+        return None
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
-        return False
+        return None
     dim = len(w_shape) - 2
-    if dim != 2:
-        return False
+    if dim not in (2, 3):
+        return None
     if len(xb_shape) != dim + 1:  # no leading batch dims
-        return False
+        return None
     F = w_shape[0]
     if F not in (3, 5):
-        return False
+        return None
     c_in, c_out = w_shape[-2], w_shape[-1]
     if c_in < 64 or c_out < 64:
-        return False
-
-    def tiled(shape):  # VMEM bytes incl. (8, 128) tile padding, f32
-        pad = list(shape)
-        pad[-1] = -(-pad[-1] // 128) * 128
-        if len(pad) >= 2:
-            pad[-2] = -(-pad[-2] // 8) * 8
-        return int(np.prod(pad)) * 4
-
-    B2 = xb_shape[1]
+        return None
     Q = (F - 1) // 2
-    W2 = B2 + 2 * Q
-    win = tiled(((_TR + 2 * Q) * W2 + 2 * Q, c_in))
-    blocks = tiled((_TR, B2, c_in)) * 2 + tiled((Q, B2, c_in)) * 2
-    acc = tiled((_TR * W2, c_out)) * 2 + tiled((_TR, B2, c_out)) * 2
-    wb = tiled(w_shape)
-    return win + blocks + acc + wb < 12 * 1024 * 1024
+    if dim == 2:
+        B2 = xb_shape[1]
+        W2 = B2 + 2 * Q
+        win = _tiled(((_TR + 2 * Q) * W2 + 2 * Q, c_in))
+        blocks = _tiled((_TR, B2, c_in)) * 2 + _tiled((Q, B2, c_in)) * 2
+        acc = _tiled((_TR * W2, c_out)) * 2 + _tiled((_TR, B2, c_out)) * 2
+        wb = _tiled(w_shape)
+        if win + blocks + acc + wb < _VMEM_BUDGET:
+            return _TR
+        return None
+    # 3D: pick the largest stripe height that fits VMEM (the per-stripe
+    # working set scales with the full (B2, B3) plane). The 3D kernel
+    # raises Mosaic's scoped limit to 64 MB; budget the ESTIMATE at 24 MB
+    # (double-buffering and scheduler temporaries run the true footprint
+    # to ~2x the sum below).
+    B2, B3 = xb_shape[1], xb_shape[2]
+    W2, W3 = B2 + 2 * Q, B3 + 2 * Q
+    wb = _tiled(w_shape)
+    for TR in (16, 8, 4, 2, 1):
+        if TR % Q != 0:
+            continue
+        NF3 = (TR + 2 * Q) * W2 * W3 + 2 * Q * W3 + 2 * Q
+        M = TR * W2 * W3
+        win = _tiled((NF3, c_in))
+        blocks = (_tiled((TR, B2, B3, c_in)) * 2
+                  + _tiled((Q, B2, B3, c_in)) * 2)
+        acc = _tiled((M, c_out)) * 2 + _tiled((TR, B2, B3, c_out))
+        if win + blocks + acc + wb < 24 * 1024 * 1024:
+            return TR
+    return None
+
+
+def pallas_ok(xb_shape, dtype, w_shape):
+    """Can the tiled flat-window VMEM kernel handle this apply?"""
+    return _plan(tuple(xb_shape), jnp.dtype(dtype).name,
+                 tuple(w_shape)) is not None
 
 
 def _kernel(F, TR, B2, c_in, c_out, cur_ref, prev_ref, next_ref,
@@ -114,11 +155,120 @@ def _kernel(F, TR, B2, c_in, c_out, cur_ref, prev_ref, next_ref,
     o_ref[...] = acc.reshape(TR, W2, c_out)[:, 0:B2, :]
 
 
+def _kernel3d(F, TR, B2, B3, c_in, c_out, cur_ref, prev_ref, next_ref,
+              w_ref, o_ref, xw_ref, acc_ref):
+    Q = (F - 1) // 2
+    W2, W3 = B2 + 2 * Q, B3 + 2 * Q
+    M = TR * W2 * W3
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    xw_ref[...] = jnp.zeros(xw_ref.shape, xw_ref.dtype)
+    for r in range(TR):
+        for i2 in range(B2):
+            off = ((r + Q) * W2 + (i2 + Q)) * W3 + Q
+            xw_ref[off:off + B3, :] = cur_ref[r, i2]
+
+    @pl.when(i > 0)
+    def _():
+        for r in range(Q):
+            for i2 in range(B2):
+                off = (r * W2 + (i2 + Q)) * W3 + Q
+                xw_ref[off:off + B3, :] = prev_ref[r, i2]
+
+    @pl.when(i < n - 1)
+    def _():
+        for r in range(Q):
+            for i2 in range(B2):
+                off = ((TR + Q + r) * W2 + (i2 + Q)) * W3 + Q
+                xw_ref[off:off + B3, :] = next_ref[r, i2]
+
+    # accumulate through a VMEM scratch: a pure value chain lets the
+    # scheduler keep all F^3 (M, c_out) dot temporaries alive at once
+    # (observed: 38 MB scoped VMEM at F=3), the ref write serializes them
+    first = True
+    for q1 in range(F):
+        for q2 in range(F):
+            for q3 in range(F):
+                off = (q1 * W2 + q2) * W3 + q3
+                v = jnp.dot(
+                    xw_ref[off:off + M, :], w_ref[q1, q2, q3],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                acc_ref[...] = v if first else acc_ref[...] + v
+                first = False
+    o_ref[...] = acc_ref[...].reshape(TR, W2, W3, c_out)[:, 0:B2, 0:B3, :]
+
+
+def _conv3d_pallas(xb, W, TR):
+    """3D flat-window kernel: leading-axis stripes, (B2, B3) planes flat."""
+    F = W.shape[0]
+    Q = (F - 1) // 2
+    c_in, c_out = W.shape[-2], W.shape[-1]
+    B1, B2, B3 = xb.shape[0], xb.shape[1], xb.shape[2]
+    B1p = -(-B1 // TR) * TR
+    if B1p != B1:
+        xb = jnp.pad(xb, ((0, B1p - B1), (0, 0), (0, 0), (0, 0)))
+    n_tiles = B1p // TR
+    W2, W3 = B2 + 2 * Q, B3 + 2 * Q
+    NF3 = (TR + 2 * Q) * W2 * W3 + 2 * Q * W3 + 2 * Q
+
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def im_cur(i):
+        return (_i32(i), _i32(0), _i32(0), _i32(0))
+
+    def im_prev(i):
+        return (_i32(jnp.maximum(i * (TR // Q) - 1, 0)), _i32(0), _i32(0),
+                _i32(0))
+
+    def im_next(i):
+        return (_i32(jnp.minimum(i * (TR // Q) + TR // Q,
+                                 B1p // Q - 1)), _i32(0), _i32(0), _i32(0))
+
+    kern = partial(_kernel3d, F, TR, B2, B3, c_in, c_out)
+    out = pl.pallas_call(
+        kern,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((TR, B2, B3, c_in), im_cur,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, B2, B3, c_in), im_prev,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, B2, B3, c_in), im_next,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W.shape, lambda i: (_i32(0),) * 5,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TR, B2, B3, c_out), im_cur,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B1p, B2, B3, c_out), xb.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((NF3, c_in), jnp.float32),
+            pltpu.VMEM((TR * W2 * W3, c_out), jnp.float32),
+        ],
+        # the 3D working set (window scratch + double-buffered plane
+        # blocks + F^3 kernel) legitimately exceeds Mosaic's 16 MB
+        # default scoped budget at production channel counts
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(xb, xb, xb, jnp.asarray(W, dtype=xb.dtype))
+    if B1p != B1:
+        out = out[:B1]
+    return out
+
+
 def conv_blocked_pallas(xb, W):
     """y[b] = sum_q x[b + q - Q] @ W[q], zero-extended, row-tiled VMEM."""
     F = W.shape[0]
     Q = (F - 1) // 2
     c_in, c_out = W.shape[-2], W.shape[-1]
+    if W.ndim - 2 == 3:
+        TR = _plan(tuple(xb.shape), jnp.dtype(xb.dtype).name,
+                   tuple(W.shape))
+        return _conv3d_pallas(xb, W, TR)
     B1, B2 = xb.shape[0], xb.shape[1]
     TR = _TR
     B1p = -(-B1 // TR) * TR

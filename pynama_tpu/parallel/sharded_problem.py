@@ -404,9 +404,10 @@ class ShardedNSProblem:
     def build_rhs(self, kle_rtol=None, kle_maxiter=None):
         """jitted distributed transport RHS: (w, vel_ws, t) -> (f, vel).
 
-        The building block for host-staged stepping at scales where the
-        fully-inlined build_step() program is too large to compile — the
-        same split bench.py uses single-chip.
+        Used for the initial FSAL derivative and one-off evaluations;
+        production stepping at scales where the fully-inlined
+        build_step() program is too large to compile goes through
+        build_attempt() (one dispatch per BS5 attempt).
         """
         p = self.p
         kle_rtol = kle_rtol if kle_rtol is not None else p.kle_rtol
@@ -468,6 +469,98 @@ class ShardedNSProblem:
 
         return rhs
 
+    def build_attempt(self, kle_rtol=None, kle_maxiter=None, atol=None,
+                      rtol=None):
+        """ONE BS5(4) attempt as a single SPMD dispatch (lax.scan stages).
+
+        (w, t, dt, vel_aux, f1) -> (y5, f_new, wlte, aux). The compiled
+        program is the size of ONE distributed RHS program (the 7 stages
+        scan over a single rhs body), and the host dt controller costs
+        one dispatch per attempt — this removes the round-3 step-level
+        gap (8 dispatches x sharded-argument processing per step,
+        run-artifacts/bench-sharded-1dev.json).
+        """
+        p = self.p
+        kle_rtol = kle_rtol if kle_rtol is not None else p.kle_rtol
+        kle_maxiter = kle_maxiter if kle_maxiter is not None else p.kle_maxiter
+        atol = atol if atol is not None else p.ts_atol
+        rtol = rtol if rtol is not None else p.ts_rtol
+        transport_rhs = self._local_fns()
+        n_glob_w = self.n_vort_global
+
+        from jax import shard_map
+
+        from pynama_tpu.solvers.rk import make_bs5_scan_attempt
+
+        names = self.axis_names
+        spec_d = P(*names)
+        spec_r = P()
+        has_fs = self.mask_fs is not None
+        has_ubc = self.u_bc is not None
+        has_bcw = self.bc_vort_mask is not None
+        sq, ex = self._sq, self._ex
+        mg_meta, mg_st, mg_rp = self._dmg if self._dmg else (None, (), ())
+
+        def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
+                 own_v, own_w, mg_stacked, w, t, dt, vel, f1):
+            loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
+                   sq(wc), sq(ws), sq(wv),
+                   sq(ubc) if has_ubc else None, sq(coords),
+                   sq(bcw) if has_bcw else None)
+            ov = sq(own_v)
+            ow = sq(own_w)
+            if mg_meta is not None:
+                from pynama_tpu.parallel.dist_mg import make_minv
+
+                mg_loc = sq(mg_stacked)
+                fin = make_minv(mg_meta, mg_loc, mg_rp, loc[1],
+                                fine_boundary_free=self._bfree)
+                fs = (make_minv(mg_meta, mg_loc, mg_rp, loc[2],
+                                fine_boundary_free=self._bfree_fs)
+                      if has_fs else None)
+                minvs = (fs, fin)
+            else:
+                minvs = (None, None)
+
+            def pdot(a, b):
+                return jax.lax.psum(jnp.sum(a * b * ov), names)
+
+            def rhs(tt, ww, aux):
+                return transport_rhs(loc, tt, ww, aux, pdot, kle_rtol,
+                                     kle_maxiter, minvs=minvs)
+
+            def wlte_norm(err, y_old, y_new, a, r):
+                wgt = a + r * jnp.maximum(jnp.abs(y_old), jnp.abs(y_new))
+                e = err / wgt
+                s = jax.lax.psum(jnp.sum(e * e * ow), names)
+                return jnp.sqrt(s / n_glob_w)
+
+            attempt = make_bs5_scan_attempt(rhs, atol=atol, rtol=rtol,
+                                            wlte_norm=wlte_norm)
+            y5, f_new, wlte, aux_n = attempt(sq(w), t, dt, sq(vel), sq(f1))
+            return ex(y5), ex(f_new), wlte, ex(aux_n)
+
+        statics = (self.diag_K, self.mask,
+                   self.mask_fs if has_fs else self.mask,
+                   self.w_curl, self.w_srt, self.w_div,
+                   self.u_bc if has_ubc else self.diag_K, self.coords,
+                   self.bc_vort_mask if has_bcw else self.w_curl)
+        mg_st_specs = jax.tree.map(lambda _: spec_d, mg_st)
+        in_specs = tuple([spec_d] * 11 + [mg_st_specs] + [
+            spec_d, spec_r, spec_r, spec_d, spec_d])
+        out_specs = (spec_d, spec_d, spec_r, spec_d)
+        fn = shard_map(
+            body, mesh=self.mesh_dev, in_specs=in_specs,
+            out_specs=out_specs, check_vma=False,
+        )
+
+        @jax.jit
+        def attempt_fn(w, t, dt, vel, f1):
+            return fn(*statics, self.own_v, self.own_w, mg_st, w, t, dt,
+                      vel, f1)
+
+        return attempt_fn
+
     def _eval_rhs_once(self, w, t, vel):
         f, _ = self.build_rhs()(w, vel, t)
         return f
@@ -475,15 +568,16 @@ class ShardedNSProblem:
     # ------------------------------------------------------------------
     def run_staged(self, max_steps=None, callback=None, kle_rtol=None,
                    kle_maxiter=None):
-        """Distributed transient run, host-staged (production scale).
+        """Distributed transient run, host-controlled (production scale).
 
         build_step()'s fully-inlined program is compile-prohibitive at
         ~1M dofs (the same XLA limit the single-chip bench hits); this
-        mirrors BaseProblem.run with the BS5(4) stage loop + dt
-        controller on host and ONE compiled distributed RHS program
-        (build_rhs) dispatched 7x per attempt. Returns (w_stacked, t, n).
+        keeps the accept/reject dt controller on host and runs each
+        BS5(4) attempt as ONE compiled SPMD dispatch (build_attempt —
+        the 7 stages lax.scan over a single RHS body, so the program
+        stays the size of one RHS program). Returns (w_stacked, t, n).
         """
-        from pynama_tpu.solvers.rk import make_bs5_host_stepper
+        from pynama_tpu.solvers.rk import make_attempt_host_stepper
 
         p = self.p
         rhs_fn = self.build_rhs(kle_rtol, kle_maxiter)
@@ -491,8 +585,8 @@ class ShardedNSProblem:
         def rhs(t, w, aux):
             return rhs_fn(w, aux, t)
 
-        step = make_bs5_host_stepper(rhs, atol=p.ts_atol, rtol=p.ts_rtol,
-                                     max_dt=p.ts_max_dt)
+        attempt = self.build_attempt(kle_rtol, kle_maxiter)
+        step = make_attempt_host_stepper(attempt, max_dt=p.ts_max_dt)
         w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
         vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
         t = jnp.asarray(p.t_start, dtype=p.dtype)

@@ -151,6 +151,91 @@ def make_bs5_stepper(
     return step
 
 
+def make_bs5_scan_attempt(
+    rhs: Callable,
+    atol: float = 1e-4,
+    rtol: float = 1e-4,
+    wlte_norm: Callable = _wlte_norm,
+):
+    """ONE BS5(4) attempt as a single traceable program (lax.scan).
+
+    ``attempt(y, t, dt, aux, f1) -> (y5, f_new, wlte, aux_new)``: the 7
+    derivative stages run as a lax.scan whose body contains ONE rhs eval
+    — the compiled program is the size of a single RHS program (vs 7x
+    for an unrolled chain), and the host dt controller needs exactly one
+    device dispatch per attempt (vs 8 for the staged stepper — the
+    per-dispatch argument-processing overhead on sharded arrays was the
+    round-3 distributed step-level gap, parallel/sharded_problem.py).
+    Numerics are identical to make_bs5_host_stepper's stage_fn/_combine
+    (same tensordot stage combinations).
+    """
+    A = jnp.asarray(BS5_A)
+    C = jnp.asarray(BS5_C)
+    B = jnp.asarray(BS5_B)
+    D = jnp.asarray(BS5_B - BS5_BEMBED)
+
+    def attempt(y, t, dt, aux, f1):
+        ks0 = jnp.zeros((BS5_STAGES,) + y.shape, dtype=y.dtype)
+        ks0 = ks0.at[0].set(f1)
+
+        def stage(carry, i):
+            ks, aux_c = carry
+            a_row = A[i].astype(y.dtype)
+            yi = y + dt * jnp.tensordot(a_row, ks, axes=1)
+            fi, aux_c = rhs(t + C[i].astype(y.dtype) * dt, yi, aux_c)
+            ks = jax.lax.dynamic_update_index_in_dim(ks, fi, i, 0)
+            return (ks, aux_c), None
+
+        (ks, aux_n), _ = jax.lax.scan(
+            stage, (ks0, aux), jnp.arange(1, BS5_STAGES))
+        y5 = y + dt * jnp.tensordot(B.astype(y.dtype), ks, axes=1)
+        err = dt * jnp.tensordot(D.astype(y.dtype), ks, axes=1)
+        wlte = wlte_norm(err, y, y5, atol, rtol)
+        return y5, ks[BS5_STAGES - 1], wlte, aux_n
+
+    return attempt
+
+
+def make_attempt_host_stepper(
+    attempt_fn: Callable,
+    safety: float = 0.9,
+    min_factor: float = 0.1,
+    max_factor: float = 10.0,
+    max_attempts: int = 12,
+    max_dt: Optional[float] = None,
+):
+    """Host dt controller around a compiled single-dispatch attempt.
+
+    ``attempt_fn(y, t, dt, aux, f1) -> (y5, f_new, wlte, aux)`` (already
+    jitted — make_bs5_scan_attempt under jax.jit or shard_map). Same
+    accept/reject + dt logic as make_bs5_host_stepper, one device
+    round-trip per attempt.
+    """
+    def step(y, t, dt, aux, f1, t_end):
+        dt = float(min(float(dt), float(t_end) - float(t)))
+        if max_dt is not None:
+            dt = min(dt, float(max_dt))
+        for _ in range(max_attempts):
+            y5, f_new, wlte, aux_n = attempt_fn(
+                y, jnp.asarray(t, y.dtype), jnp.asarray(dt, y.dtype),
+                aux, f1)
+            w = float(wlte)
+            factor = float(np.clip(
+                safety * max(w, 1e-30) ** (-1.0 / BS5_ORDER),
+                min_factor, max_factor))
+            if w <= 1.0:
+                return StepResult(
+                    y=y5, t=jnp.asarray(float(t) + dt, y.dtype),
+                    dt_next=jnp.asarray(dt * factor, y.dtype), aux=aux_n,
+                    f_new=f_new, wlte=wlte,
+                    attempts=jnp.asarray(1, jnp.int32),
+                )
+            dt = dt * min(factor, 1.0)
+        raise RuntimeError("BS5 step rejected max_attempts times")
+
+    return step
+
+
 def make_bs5_host_stepper(
     rhs: Callable,
     atol: float = 1e-4,

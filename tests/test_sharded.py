@@ -268,6 +268,87 @@ def test_distributed_patch_apply_matches_single():
     assert err < 1e-12, err
 
 
+def test_run_staged_attempt_matches_single():
+    """The production distributed stepping path — run_staged over
+    build_attempt (ONE SPMD dispatch per BS5 attempt, stages lax.scan
+    inside) — must match a single-device run through the same scan
+    attempt + host dt controller (identical tensordot stage combines and
+    real-dof wlte norms -> identical accept/dt decisions)."""
+    from pynama_tpu.solvers.rk import (make_attempt_host_stepper,
+                                       make_bs5_scan_attempt)
+
+    cfg = make_config((4, 8), 3, rho=0.5, mu=0.01, end=0.02, max_steps=8)
+    cfg["multigrid"] = False
+    p = CustomFuncProblem(cfg, case="taylor-green").setup()
+
+    def rhs_s(t, w, aux):
+        return p.transport_rhs(t, w, aux)
+
+    attempt = jax.jit(make_bs5_scan_attempt(
+        rhs_s, atol=p.ts_atol, rtol=p.ts_rtol, wlte_norm=p._wlte_norm()))
+    step = make_attempt_host_stepper(attempt)
+    blk = p._blk if getattr(p, "_blocked", False) else (lambda x: x)
+    unblk = p._unblk if getattr(p, "_blocked", False) else (lambda x: x)
+    w = blk(p.initial_vorticity())
+    vel = blk(p.zero_vel())
+    t = jnp.asarray(p.t_start, p.dtype)
+    dt = jnp.asarray(p.dt0, p.dtype)
+    t_end = jnp.asarray(p.t_end, p.dtype)
+    f1, vel = rhs_s(t, w, vel)
+    n_ref = 0
+    while float(t) < float(t_end) - 1e-14 and n_ref < 8:
+        res = step(w, t, dt, vel, f1, t_end)
+        w, t, dt, vel, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
+        n_ref += 1
+    w_ref = np.asarray(unblk(w)).reshape(-1)
+
+    p2 = CustomFuncProblem(cfg, case="taylor-green").setup()
+    sp = ShardedNSProblem(p2, 4)
+    w_loc, t_d, n = sp.run_staged(max_steps=8)
+    w_dist = sp.unshard(w_loc, p2.dim_w)
+
+    assert n == n_ref
+    assert abs(t_d - float(t)) < 1e-12
+    err = np.linalg.norm(w_dist - w_ref) / np.linalg.norm(w_ref)
+    assert err < 1e-10, err
+
+
+def test_distributed_blocked_transfers_engage_and_match():
+    """The distributed blocked-native MG transfer path (dist_mg
+    blocked_restrict_apply with ghost-margin exchange) must actually
+    ENGAGE — meta.tms[0] is not None — at a config whose per-level LOCAL
+    super factors admit the stride-m kernel (32x32 over 4 slabs), and
+    the distributed RHS must match the single-device MG path. Guards
+    against silent grid-path fallbacks in the production (channel3d
+    sharded) code path."""
+    import jax.numpy as jnp
+
+    cfg = make_config((32, 32), 3, rho=1.0, mu=0.1, end=0.05, max_steps=6)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    cfg["kle-rtol"] = 1e-11
+    p = CavityProblem(cfg).setup()
+    assert getattr(p, "mg", None) is not None
+    t = jnp.asarray(0.0, p.dtype)
+    w0 = p.initial_vorticity()
+    f_ref, _ = p.transport_rhs(t, w0, p.zero_vel())
+    f_ref = np.asarray(f_ref).reshape(-1)
+
+    sp = ShardedNSProblem(p, 4)
+    assert sp._dmg is not None
+    meta = sp._dmg[0]
+    assert meta.tms and meta.tms[0] is not None, (
+        "blocked-native distributed transfers must engage at 32x32/4 "
+        f"slabs; tms={meta.tms}"
+    )
+    rhs = sp.build_rhs()
+    w = sp.shard(np.asarray(w0).reshape(-1), p.dim_w)
+    vel = sp.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
+    f, _ = rhs(w, (vel, vel), t)
+    fd = sp.unshard(f, p.dim_w)
+    err = np.linalg.norm(fd - f_ref) / max(np.linalg.norm(f_ref), 1.0)
+    assert err < 1e-6, err
+
+
 def test_distributed_multigrid_agglomerated_tail():
     """Coarse-grid agglomeration: on 8 slabs the 48/24/12 hierarchy can
     only distribute its first two levels (12 % 8 != 0); the coarser tail

@@ -105,7 +105,15 @@ def test_pick_super_factor():
     assert pick_super_factor((16, 16), 9, 2) == 1     # lanes already full
 
 
-def test_blocked_mg_transfers_match_grid_path():
+@pytest.mark.parametrize(
+    "dim,ngl,nelem",
+    [
+        (2, 3, (16, 16)),
+        (2, 6, (8, 8)),        # s_c // P > 1 exercises super-blocked jumps
+        (3, 3, (4, 4, 4)),     # 3D closed-form kernels (ex-240 GiB probe)
+    ],
+)
+def test_blocked_mg_transfers_match_grid_path(dim, ngl, nelem):
     """Blocked-native MG transfers == grid-path transfers (same V-cycle)."""
     import jax.numpy as jnp
 
@@ -113,16 +121,20 @@ def test_blocked_mg_transfers_match_grid_path():
     from pynama_tpu.mesh.structured import BoxMesh
     from pynama_tpu.solvers.multigrid import MGPreconditioner
 
-    mesh = BoxMesh(nelem=(16, 16), lower=(0, 0), upper=(1, 1), ngl=3)
-    elem = SpectralElement(3, 2)
+    mesh = BoxMesh(nelem=nelem, lower=(0,) * dim, upper=(1,) * dim, ngl=ngl)
+    elem = SpectralElement(ngl, dim)
     mg = MGPreconditioner(mesh, elem, dtype=jnp.float64,
-                          coarsest_max_dofs=200)
+                          coarsest_max_dofs=200 if dim == 2 else 2000)
     assert mg.usable
     assert mg._transfer_kernel(0) is not None
     mask_b = mg.levels[0].mask_b
     minv_blocked = mg.build(mask_b)
 
-    mg._tk_cache = {li: None for li in range(len(mg.levels))}
+    # poison with the REAL cache keys (li, s_f, s_c) so the second build
+    # actually falls back to grid transfers; assert the builds diverge
+    mg._tk_cache = {(li, None, None): None
+                    for li in range(len(mg.levels) - 1)}
+    assert mg._transfer_kernel(0) is None
     minv_grid = mg.build(mask_b)
 
     rng = np.random.default_rng(3)

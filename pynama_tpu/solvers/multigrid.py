@@ -679,26 +679,13 @@ class MGPreconditioner:
         cache[key] = res
         return res
 
-    def _probe_transfer(self, li, s_f, s_c, r):
-        """Blocked stride-m transfer kernel, built in CLOSED FORM.
+    def _transfer_1d(self, s_f, s_c, r):
+        """(W1, m, e_lo): the exact DENSE 1D blocked transfer kernel.
 
-        The grid-path restriction is a tensor product: interp_k is a
-        Kronecker product of ONE 1D subcell-interpolation matrix per
-        axis (times I_dim over velocity channels,
-        _subcell_interp_matrices), and the blocked layout partitions
-        each axis independently (node n -> block n // s, slot n mod s,
-        channel = flat(slots) * k + c — ops/conv.py to_blocked_np). So
-
-            Wr[t][(p, c), (q, c')] = delta(c, c') * prod_a W1[t_a][p_a, q_a]
-
-        with W1 read off the DENSE 1D restriction matrix on a small 1D
-        probe line — pure numpy, microseconds. (The former d-dimensional
-        impulse probe materialized len(taps)*Cf full fine grids: 240 GiB
-        at ngl=6 in 3D. Exactness vs the grid path is asserted by the
-        blocked-vs-grid V-cycle equivalence tests in
-        tests/test_superblock.py, 2D and 3D.)
+        W1[t][p, q]: fine (block m*bc + t - e_lo, slot p) -> coarse
+        (block bc, slot q), read off the dense 1D restriction matrix on
+        a small interior probe line — pure numpy, microseconds.
         """
-        d = self.dim
         N = self.elem.ngl
         P = N - 1
         m = r * s_c // s_f
@@ -725,42 +712,182 @@ class MGPreconditioner:
             for s in range(r):
                 R1[e * P:(e + 1) * P + 1,
                    (e * r + s) * P:(e * r + s + 1) * P + 1] += hs[s].T
-        # W1[t][p, q]: fine (block 2m + t - e_lo, slot p) -> coarse
-        # (block 2, slot q)
         W1 = np.zeros((T, s_f, s_c))
         for t in range(T):
             bf = 2 * m + t - e_lo
             W1[t] = R1[2 * s_c:3 * s_c, bf * s_f:(bf + 1) * s_f].T
-        # tensor product over axes, then I_k over channels
-        k = d
+        return W1, m, e_lo
+
+    @staticmethod
+    def _tensor_kernel(W1, d, k):
+        """Tensor-produce the 1D kernel over d axes, then I_k channels.
+
+        Wr[(t0..td-1)][(p, c), (q, c')] = delta(c, c')
+            * prod_a W1[t_a][p_a, q_a]
+        matching the blocked layout's independent per-axis partition
+        (node n -> block n // s, slot n mod s, channel = flat(slots) * k
+        + c — ops/conv.py to_blocked_np).
+        """
+        T, s_f, s_c = W1.shape
         Wk = W1
         for a in range(1, d):
             Wk = np.einsum("...pq,tab->...tpaqb", Wk, W1).reshape(
                 (T,) * (a + 1) + (s_f ** (a + 1), s_c ** (a + 1))
             )
-        Wr = np.einsum("...pq,cd->...pcqd", Wk, np.eye(k)).reshape(
+        return np.einsum("...pq,cd->...pcqd", Wk, np.eye(k)).reshape(
             (T,) * d + (s_f**d * k, s_c**d * k)
         )
+
+    def _probe_transfer(self, li, s_f, s_c, r):
+        """Blocked stride-m transfer kernel, built in CLOSED FORM.
+
+        The grid-path restriction is a tensor product: interp_k is a
+        Kronecker product of ONE 1D subcell-interpolation matrix per
+        axis (times I_dim over velocity channels,
+        _subcell_interp_matrices), so the d-dim kernel factorizes into
+        the 1D kernel of _transfer_1d. (The former d-dimensional
+        impulse probe materialized len(taps)*Cf full fine grids: 240 GiB
+        at ngl=6 in 3D. Exactness vs the grid path is asserted by the
+        blocked-vs-grid V-cycle equivalence tests in
+        tests/test_superblock.py, 2D and 3D.)
+        """
+        d = self.dim
+        W1, m, e_lo = self._transfer_1d(s_f, s_c, r)
+        Wr = self._tensor_kernel(W1, d, d)
         return jnp.asarray(Wr, dtype=self.dtype), m, e_lo
 
-    def _blocked_restrict(self, li, xb, mult_b, pad_c, tk=None):
+    def _transfer_subkernels(self, li, s_f=None, s_c=None):
+        """{d2: Wr_sub} tensor kernels over d2 < dim axes, for the
+        boundary inclusion-exclusion corrections (_transfer_corr)."""
+        cache = getattr(self, "_tks_cache", None)
+        if cache is None:
+            cache = {}
+            self._tks_cache = cache
+        key = (li, s_f, s_c)
+        if key in cache:
+            return cache[key]
+        lvl, nxt = self.levels[li], self.levels[li + 1]
+        sf = s_f if s_f is not None else lvl.K.eff_ngl - 1
+        sc = s_c if s_c is not None else nxt.K.eff_ngl - 1
+        W1, m, e_lo = self._transfer_1d(sf, sc, lvl.ratio)
+        k = self.dim
+        subs = {
+            d2: jnp.asarray(self._tensor_kernel(W1, d2, k),
+                            dtype=self.dtype)
+            for d2 in range(1, self.dim)
+        }
+        res = (subs, sf, sc, m, e_lo)
+        cache[key] = res
+        return res
+
+    def _transfer_corr(self, li, xr, Bf, Bc, direction, s_f=None,
+                       s_c=None):
+        """Boundary corrections making blocked transfers exact on
+        operands with NONZERO boundary values (e.g. the cavity FS mask,
+        which frees wall-tangential dofs).
+
+        The translation-invariant blocked kernel equals the grid-path
+        transfer plus phantom-cell terms. In 1D those terms are exactly
+        rank-2 with UNIT weight: the phantom cell beyond each end
+        injects the fine boundary node into the coarse boundary node
+        once extra (the mirrored subcell's interp at the shared corner
+        is the identity), so R_grid = K_blocked - E_lo - E_hi with
+        E[c_end, f_end] = 1. Tensor-producing over axes gives the
+        inclusion-exclusion
+
+            R_grid = sum_S (-1)^{|S|} (prod_{a in S} E_a)
+                                      (prod_{a not in S} K_a),
+
+        i.e. tiny per-plane/edge/corner updates: extract the fine
+        boundary plane (block 0 / B-1, slot 0 along each axis in S),
+        transfer it with the (d-|S|)-dim kernel, and add it at the
+        coarse boundary with sign. `direction` is "restrict" or
+        "prolong" (the exact adjoint). Returns a list of
+        (index_tuple, value) updates for the caller's .at[].add.
+        """
+        import itertools
+
+        d = self.dim
+        k = d
+        subs, sf, sc, m, e_lo = self._transfer_subkernels(li, s_f, s_c)
+        restrict = direction == "restrict"
+        B_in, B_out = (Bf, Bc) if restrict else (Bc, Bf)
+        s_in = sf if restrict else sc
+        updates = []
+        for j in range(1, d + 1):
+            sign = -1.0 if j % 2 else 1.0
+            for S in itertools.combinations(range(d), j):
+                nonS = [a for a in range(d) if a not in S]
+                d2 = d - j
+                for sides in itertools.product((0, 1), repeat=j):
+                    idx = [slice(None)] * (2 * d + 1)
+                    for a, side in zip(S, sides):
+                        idx[a] = 0 if side == 0 else B_in[a] - 1
+                        idx[d + a] = 0
+                    v = xr[tuple(idx)]
+                    if d2 > 0:
+                        vb = v.reshape(tuple(B_in[a] for a in nonS)
+                                       + (s_in**d2 * k,))
+                        if restrict:
+                            vo = blocked_restrict_apply(
+                                vb, subs[d2], m, e_lo,
+                                tuple(Bc[a] for a in nonS), d2)
+                            vo = vo.reshape(tuple(Bc[a] for a in nonS)
+                                            + (sc,) * d2 + (k,))
+                        else:
+                            vo = blocked_prolong_apply(
+                                vb, subs[d2], m, e_lo,
+                                tuple(Bf[a] for a in nonS), d2)
+                            vo = vo.reshape(tuple(Bf[a] for a in nonS)
+                                            + (sf,) * d2 + (k,))
+                    else:
+                        vo = v
+                    oidx = [slice(None)] * (2 * d + 1)
+                    for a, side in zip(S, sides):
+                        oidx[a] = 0 if side == 0 else B_out[a] - 1
+                        oidx[d + a] = 0
+                    updates.append((tuple(oidx), sign * vo))
+        return updates
+
+    def _level_blocks(self, li):
+        lvl, nxt = self.levels[li], self.levels[li + 1]
+        s_f = lvl.K.eff_ngl - 1
+        s_c = nxt.K.eff_ngl - 1
+        Bf = tuple((n - 1) // s_f + 1 for n in reversed(lvl.mesh.npts))
+        Bc = tuple((n - 1) // s_c + 1 for n in reversed(nxt.mesh.npts))
+        return s_f, s_c, Bf, Bc
+
+    def _blocked_restrict(self, li, xb, mult_b, pad_c, tk=None,
+                          corr=False):
         """(Bf..., Cf) fine blocked residual -> (Bc..., Cc) coarse."""
         Wr, m, e_lo = tk if tk is not None else self._transfer_kernel(li)
-        nxt = self.levels[li + 1]
-        s_c = nxt.K.eff_ngl - 1
-        Bc = tuple((n - 1) // s_c + 1
-                   for n in reversed(nxt.mesh.npts))
-        return blocked_restrict_apply(xb * mult_b, Wr, m, e_lo, Bc,
-                                      self.dim) * pad_c
+        s_f, s_c, Bf, Bc = self._level_blocks(li)
+        xw = xb * mult_b
+        out = blocked_restrict_apply(xw, Wr, m, e_lo, Bc, self.dim)
+        if corr:
+            d, k = self.dim, self.dim
+            xr = xw.reshape(Bf + (s_f,) * d + (k,))
+            o = out.reshape(Bc + (s_c,) * d + (k,))
+            for oidx, val in self._transfer_corr(li, xr, Bf, Bc,
+                                                 "restrict"):
+                o = o.at[oidx].add(val)
+            out = o.reshape(Bc + (s_c**d * k,))
+        return out * pad_c
 
-    def _blocked_prolong(self, li, xc, mult_b, pad_f, tk=None):
+    def _blocked_prolong(self, li, xc, mult_b, pad_f, tk=None,
+                         corr=False):
         """Adjoint of _blocked_restrict: coarse blocked -> fine blocked."""
         Wr, m, e_lo = tk if tk is not None else self._transfer_kernel(li)
-        lvl = self.levels[li]
-        s_f = lvl.K.eff_ngl - 1
-        Bf = tuple((n - 1) // s_f + 1
-                   for n in reversed(lvl.mesh.npts))
+        s_f, s_c, Bf, Bc = self._level_blocks(li)
         out = blocked_prolong_apply(xc, Wr, m, e_lo, Bf, self.dim)
+        if corr:
+            d, k = self.dim, self.dim
+            xr = xc.reshape(Bc + (s_c,) * d + (k,))
+            o = out.reshape(Bf + (s_f,) * d + (k,))
+            for oidx, val in self._transfer_corr(li, xr, Bf, Bc,
+                                                 "prolong"):
+                o = o.at[oidx].add(val)
+            out = o.reshape(Bf + (s_f**d * k,))
         return out * mult_b * pad_f
 
     # ------------------------------------------------------------------
@@ -845,26 +972,30 @@ class MGPreconditioner:
 
         from pynama_tpu.ops.conv import pad_mask
 
-        # The probed transfer kernels are translation-invariant: their
-        # phantom windows read the fine BOUNDARY planes, so they equal
-        # the grid-path transfers exactly only when the operand's
-        # boundary values are zero. That holds on every level >= 1
-        # (coarse operands are Dirichlet-masked) and on level 0 iff the
-        # solve mask pins the boundary (corr0 False). Level 0 of masks
-        # that free boundary dofs (e.g. cavity wall tangentials) keeps
-        # the grid-path transfer.
-        # decisions FROZEN at build time: the probe runs jit+numpy
-        # readback and caching traced arrays on the levels would leak
-        # tracers — neither may happen inside a traced V-cycle
+        # The closed-form transfer kernels are translation-invariant:
+        # their phantom windows read the fine BOUNDARY planes, so alone
+        # they equal the grid-path transfers only on operands whose
+        # boundary values are zero — true on every level >= 1 (coarse
+        # operands are Dirichlet-masked). On level 0 of masks that free
+        # boundary dofs (e.g. cavity wall tangentials, corr0 True) the
+        # EXACT boundary inclusion-exclusion corrections
+        # (_transfer_corr) restore equality on all operands, keeping
+        # the whole V-cycle blocked-native.
+        # decisions FROZEN at build time: caching traced arrays on the
+        # levels would leak tracers — neither the kernel build nor the
+        # cache write may happen inside a traced V-cycle
         tk_use = [None] * max(nlev - 1, 0)
+        tk_corr = [False] * max(nlev - 1, 0)
         if blocked:
             for li in range(nlev - 1):
-                if li == 0 and corr0:
-                    continue
                 tk = self._transfer_kernel(start_level + li)
                 if tk is None:
                     continue
                 tk_use[li] = tk
+                tk_corr[li] = bool(li == 0 and corr0)
+                if tk_corr[li]:
+                    # freeze the sub-dimension correction kernels too
+                    self._transfer_subkernels(start_level + li)
                 for l_ in (levels[li], levels[li + 1]):
                     if getattr(l_, "pad_b", None) is None:
                         l_.pad_b = jnp.asarray(pad_mask(
@@ -873,6 +1004,11 @@ class MGPreconditioner:
                 if getattr(levels[li], "mult_b", None) is None:
                     levels[li].mult_b = levels[li].K.to_blocked(
                         levels[li].mult_inv)
+        # introspection for tests: which level jumps ran blocked-native
+        # transfers in the build just returned, and with corrections
+        self.last_tk_levels = [(li, tk_corr[li])
+                               for li in range(nlev - 1)
+                               if tk_use[li] is not None]
 
         def tdata(li):
             """(mult_b, pad_f, pad_c) for a blocked-native transfer."""
@@ -886,7 +1022,8 @@ class MGPreconditioner:
             if blocked and tk_use[li] is not None:
                 mult_b, _, pad_c = tdata(li)
                 return self._blocked_restrict(gli, res, mult_b, pad_c,
-                                              tk=tk_use[li])
+                                              tk=tk_use[li],
+                                              corr=tk_corr[li])
             if blocked:
                 res = lvl.K.from_blocked(res)
             rc = self._restrict(lvl, nxt.mesh, res)
@@ -899,7 +1036,8 @@ class MGPreconditioner:
             if blocked and tk_use[li] is not None:
                 mult_b, pad_f, _ = tdata(li)
                 return self._blocked_prolong(gli, xc, mult_b, pad_f,
-                                             tk=tk_use[li])
+                                             tk=tk_use[li],
+                                             corr=tk_corr[li])
             if blocked:
                 xc = nxt.K.from_blocked(xc)
             xf = self._prolong(lvl, nxt.mesh, xc)

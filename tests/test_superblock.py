@@ -145,27 +145,44 @@ def test_blocked_mg_transfers_match_grid_path(dim, ngl, nelem):
     assert err < 1e-12, err
 
 
-def test_blocked_mg_transfers_boundary_free_mask():
-    """Masks that free boundary dofs keep level-0 grid transfers and
-    still match the all-grid V-cycle."""
+@pytest.mark.parametrize(
+    "dim,ngl,nelem",
+    [
+        (2, 3, (16, 16)),
+        (2, 6, (8, 8)),        # super-blocked level-0 corrections
+        (3, 3, (4, 4, 4)),     # 3D: plane+edge+corner inclusion-exclusion
+    ],
+)
+def test_blocked_mg_transfers_boundary_free_mask(dim, ngl, nelem):
+    """Masks that free boundary dofs run level-0 blocked transfers WITH
+    the boundary inclusion-exclusion corrections and still match the
+    all-grid V-cycle exactly."""
     import jax.numpy as jnp
 
     from pynama_tpu.elements.spectral import SpectralElement
     from pynama_tpu.mesh.structured import BoxMesh
     from pynama_tpu.solvers.multigrid import MGPreconditioner
 
-    mesh = BoxMesh(nelem=(16, 16), lower=(0, 0), upper=(1, 1), ngl=3)
-    elem = SpectralElement(3, 2)
+    mesh = BoxMesh(nelem=nelem, lower=(0,) * dim, upper=(1,) * dim,
+                   ngl=ngl)
+    elem = SpectralElement(ngl, dim)
     mg = MGPreconditioner(mesh, elem, dtype=jnp.float64,
-                          coarsest_max_dofs=200)
+                          coarsest_max_dofs=200 if dim == 2 else 2000)
     # cavity-like mask: tangential (x) dofs free on the whole boundary
-    m = np.ones(tuple(reversed(mesh.npts)) + (2,))
-    m[0, :, :] = m[-1, :, :] = (1.0, 0.0)
-    m[:, 0, :] = m[:, -1, :] = (1.0, 0.0)
+    m = np.ones(tuple(reversed(mesh.npts)) + (dim,))
+    free = (1.0,) + (0.0,) * (dim - 1)
+    for ax in range(dim):
+        for side in (0, -1):
+            idx = [slice(None)] * dim
+            idx[ax] = side
+            m[tuple(idx)] = free
     mask_b = mg.levels[0].K.to_blocked(jnp.asarray(m))
     minv_blocked = mg.build(mask_b)
+    # the corrected blocked transfer must now ENGAGE at level 0
+    assert (0, True) in mg.last_tk_levels, mg.last_tk_levels
     mg._tk_cache = {k: None for k in list(mg._tk_cache.keys())}
     minv_grid = mg.build(mask_b)
+    assert mg.last_tk_levels == []
     rng = np.random.default_rng(5)
     r = jnp.asarray(rng.normal(size=mask_b.shape)) * mask_b
     y_b = np.asarray(minv_blocked(r))

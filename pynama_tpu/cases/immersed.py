@@ -74,17 +74,36 @@ class ImmersedBoundaryProblem(FreeSlipProblem):
             # static bodies on locally-uniform gmsh regions: host-side
             # window precompute (parity: immersed_boundary.py:55-58 runs
             # IBM on DMPlex meshes with 'h-min' as the IBM spacing)
-            from pynama_tpu.ibm.coupling import UnstructuredIBMCoupling
+            from pynama_tpu.ibm.coupling import (LatticeIBMCoupling,
+                                                 UnstructuredIBMCoupling)
 
             if self.body.is_moving:
-                raise NotImplementedError(
-                    "moving IBM bodies need the on-device box-mesh "
-                    "window path; gmsh domains support static bodies"
+                # moving bodies: snap the locally-uniform region onto a
+                # virtual lattice once (envelope = bounding box of the
+                # prescribed kinematics over the run, sampled densely),
+                # then the on-device box-window path runs per step with
+                # static shapes (parity: immersed_boundary.py:335-434,
+                # which reassembles H/S/KSP from scratch every step)
+                ts = np.linspace(self.t_start, self.t_end, 257)
+                # the prescribed oscillation (period Te = f/U) can be much
+                # shorter than the run: also sample its first period
+                # densely so the envelope catches the true peaks
+                Te = 5.0 / max(abs(self.u_ref), 1e-30)
+                ts = np.concatenate(
+                    [ts, self.t_start + Te * np.linspace(0.0, 1.0, 257)]
                 )
-            self.coupling = UnstructuredIBMCoupling(
-                self.mesh, self.body.dl, dtype=self.dtype, h_min=self.h
-            )
-            self.coupling.windows_host(self.body.coords_at(0.0))
+                pts = np.concatenate([self.body.coords_at(float(tt))
+                                      for tt in ts])
+                self.coupling = LatticeIBMCoupling(
+                    self.mesh, self.body.dl, dtype=self.dtype,
+                    h_min=self.h,
+                    envelope=(pts.min(axis=0), pts.max(axis=0)),
+                )
+            else:
+                self.coupling = UnstructuredIBMCoupling(
+                    self.mesh, self.body.dl, dtype=self.dtype, h_min=self.h
+                )
+                self.coupling.windows_host(self.body.coords_at(0.0))
         else:
             self.coupling = IBMCoupling(self.mesh, self.body.dl,
                                         dtype=self.dtype)

@@ -49,8 +49,9 @@ class IBMCoupling:
         if not hasattr(m, "axis_coords"):
             raise NotImplementedError(
                 "IBM coupling needs a structured box mesh for ON-DEVICE "
-                "window computation (moving bodies); static bodies on "
-                "unstructured gmsh domains use UnstructuredIBMCoupling"
+                "window computation; on unstructured gmsh domains use "
+                "UnstructuredIBMCoupling (static) / LatticeIBMCoupling "
+                "(moving)"
             )
         if m.dim != 2:
             raise NotImplementedError("IBM coupling is 2D (like the reference)")
@@ -221,3 +222,97 @@ class UnstructuredIBMCoupling(IBMCoupling):
                 "setup (static bodies only on gmsh domains)"
             )
         return self._cache
+
+
+@dataclass
+class LatticeIBMCoupling(IBMCoupling):
+    """MOVING bodies on a locally-uniform unstructured (gmsh) region.
+
+    Parity: the reference's dynamic IBM runs on any DMPlex mesh by
+    reassembling H/S/KSP from scratch every step
+    (/root/reference/src/cases/immersed_boundary.py:335-434). Here the
+    uniform sub-region the body moves through is snapped HOST-side, once,
+    onto a virtual lattice (spacing h = 'h-min'/(ngl-1)); a dense
+    lattice -> global-node-id table then lets the ON-DEVICE box-window
+    math (floor + static WIN x WIN offsets + kernel weights) run
+    unchanged for any body position inside the envelope — a moving body
+    only changes index/weight VALUES, so nothing re-traces and no
+    host-side rebuild happens.
+
+    ``envelope`` is the (lo, hi) bounding box of every Lagrange point
+    over the whole run (the caller samples the prescribed kinematics);
+    construction VALIDATES that every lattice site within kernel reach
+    (2h) of it is occupied by a mesh node, so windows never read a
+    missing site with nonzero weight.
+    """
+
+    h_min: float = None
+    envelope: tuple = None  # (lo (2,), hi (2,)) box the body stays inside
+
+    def __post_init__(self):
+        if self.mesh.dim != 2:
+            raise NotImplementedError("IBM coupling is 2D (like the reference)")
+        if self.h_min is None or self.envelope is None:
+            raise ValueError("LatticeIBMCoupling needs h_min and envelope")
+        h = self.h = float(self.h_min)
+        self.phi = KERNELS[self.kernel]
+        lo = np.asarray(self.envelope[0], dtype=np.float64)
+        hi = np.asarray(self.envelope[1], dtype=np.float64)
+        # lattice must cover the kernel support (2h) around the envelope,
+        # plus the WIN-window slack ring (zero-weight reads are clipped
+        # in-table, so one extra cell suffices for floor() jitter)
+        pad = (WIN // 2 + 1) * h
+        coords = np.asarray(self.mesh.coords, dtype=np.float64)[:, :2]
+        sel = np.flatnonzero(
+            (coords[:, 0] >= lo[0] - pad) & (coords[:, 0] <= hi[0] + pad)
+            & (coords[:, 1] >= lo[1] - pad) & (coords[:, 1] <= hi[1] + pad)
+        )
+        if sel.size == 0:
+            raise ValueError("no mesh nodes inside the IBM envelope")
+        sub = coords[sel]
+        origin = sub.min(axis=0)
+        idx = np.rint((sub - origin[None, :]) / h).astype(np.int64)
+        on_lattice = (
+            np.abs(sub - (origin[None, :] + idx * h)) < 0.05 * h
+        ).all(axis=1)
+        idx, lat_nodes = idx[on_lattice], sel[on_lattice]
+        nx = int(idx[:, 0].max()) + 1
+        ny = int(idx[:, 1].max()) + 1
+        table = np.full((ny, nx), -1, dtype=np.int32)
+        flat = idx[:, 1] * nx + idx[:, 0]
+        if len(np.unique(flat)) != len(flat):
+            raise ValueError(
+                "two mesh nodes snapped to the same lattice site: the "
+                "region around the body is not uniform at spacing "
+                f"h={h:g} — fix 'h-min' or refine the gmsh region"
+            )
+        table.reshape(-1)[flat] = lat_nodes
+        # strict-support occupancy: every site within 2h of the envelope
+        # (where kernel weights can be nonzero) must hold a mesh node
+        i_lo = np.floor((lo - 2 * h - origin) / h + 0.5).astype(int)
+        i_hi = np.ceil((hi + 2 * h - origin) / h - 0.5).astype(int)
+        out_of_table = int(
+            np.maximum(-i_lo, 0).sum()
+            + np.maximum(i_hi - [nx - 1, ny - 1], 0).sum()
+        )
+        i_lo = np.maximum(i_lo, 0)
+        i_hi = np.minimum(i_hi, [nx - 1, ny - 1])
+        core = table[i_lo[1]:i_hi[1] + 1, i_lo[0]:i_hi[0] + 1]
+        n_missing = int((core < 0).sum()) + out_of_table
+        if n_missing:
+            raise ValueError(
+                f"{n_missing} lattice sites within kernel "
+                f"reach of the body envelope have no mesh node at "
+                f"spacing h={h:g}: refine the gmsh region uniformly "
+                "over the whole motion envelope (+2h) or fix 'h-min'"
+            )
+        self.lower = origin
+        self.npx, self.npy = nx, ny
+        self._table = jnp.asarray(table.reshape(-1))
+
+    def windows(self, X):
+        """On-device lattice windows -> global node ids (moving-safe)."""
+        lat_nodes, weights = IBMCoupling.windows(self, X)
+        g = self._table[lat_nodes]
+        weights = jnp.where(g >= 0, weights, jnp.zeros_like(weights))
+        return jnp.maximum(g, 0), weights

@@ -187,6 +187,88 @@ def test_unstructured_coupling_rejects_nonuniform():
         cu.windows_host(np.asarray(body.coords_at(0.0)))
 
 
+def test_lattice_coupling_matches_box_moving():
+    """LatticeIBMCoupling (moving bodies on gmsh) on the SAME uniform
+    geometry expressed as an unstructured mesh must reproduce the
+    box-mesh on-device window path at EVERY body position: windows are
+    computed per-step from a host-built lattice->node table, so nodes,
+    weights, interpolants, and flux solves all agree."""
+    from pynama_tpu.ibm.coupling import LatticeIBMCoupling
+    from pynama_tpu.mesh.unstructured import UnstructuredQuadMesh
+    from tests.test_unstructured import box_corner_mesh
+
+    ngl = 3
+    box = BoxMesh(nelem=(16, 16), lower=(-1, -1), upper=(1, 1), ngl=ngl)
+    h = 2.0 / 16 / (ngl - 1)
+    pts, quads = box_corner_mesh(16, 16)
+    um = UnstructuredQuadMesh(pts * 2.0 - 1.0, quads, ngl=ngl)
+
+    body = Circle(center=np.zeros(2), radius=0.3).generate(h)
+    body.is_moving = True
+    ts = np.linspace(0.0, 1.0, 33)
+    env = np.concatenate([body.coords_at(float(t)) for t in ts])
+    cb = IBMCoupling(box, body.dl)
+    cl = LatticeIBMCoupling(um, body.dl, h_min=h,
+                            envelope=(env.min(axis=0), env.max(axis=0)))
+
+    # unstructured node ordering differs from the box's: build the
+    # permutation so fields and window node-ids can be compared directly
+    bc = np.asarray(box.coords)
+    uc = np.asarray(um.coords)[:, :2]
+    key_b = np.round((bc - bc.min(axis=0)) / h).astype(np.int64)
+    key_u = np.round((uc - uc.min(axis=0)) / h).astype(np.int64)
+    npx = key_b[:, 0].max() + 1
+    order_b = np.argsort(key_b[:, 1] * npx + key_b[:, 0])
+    order_u = np.argsort(key_u[:, 1] * npx + key_u[:, 0])
+    u_of_b = np.empty(len(bc), dtype=np.int64)   # box node id -> um node id
+    u_of_b[order_b] = order_u
+
+    def field(coords):
+        return np.stack([np.sin(coords[:, 0]) * np.cos(coords[:, 1]),
+                         coords[:, 0] * coords[:, 1]], axis=1)
+
+    ub = jnp.asarray(field(bc).reshape(-1))
+    uu = jnp.asarray(field(uc).reshape(-1))
+    for t in (0.0, 0.07, 0.31):
+        X = jnp.asarray(body.coords_at(t))
+        nb, wb = cb.windows(X)
+        nl, wl = cl.windows(X)
+        np.testing.assert_allclose(np.asarray(wl.sum(axis=1)), 1.0,
+                                   atol=1e-10)
+        # same physical nodes wherever the weight is nonzero
+        live = np.asarray(wb) != 0.0
+        np.testing.assert_array_equal(
+            u_of_b[np.asarray(nb)][live], np.asarray(nl)[live])
+        np.testing.assert_allclose(np.asarray(wl)[live],
+                                   np.asarray(wb)[live], atol=1e-12)
+        np.testing.assert_allclose(np.asarray(cl.interp(uu, nl, wl)),
+                                   np.asarray(cb.interp(ub, nb, wb)),
+                                   atol=1e-10)
+    Ub = jnp.asarray(body.velocity_at(0.31))
+    X = jnp.asarray(body.coords_at(0.31))
+    nb, wb = cb.windows(X)
+    nl, wl = cl.windows(X)
+    _, qb = cb.solve_correction(ub, Ub, nb, wb, rtol=1e-12, maxiter=2000)
+    _, ql = cl.solve_correction(uu, Ub, nl, wl, rtol=1e-12, maxiter=2000)
+    np.testing.assert_allclose(np.asarray(ql), np.asarray(qb), atol=1e-7)
+
+
+def test_lattice_coupling_rejects_uncovered_envelope():
+    """An envelope reaching past the uniform region must fail at setup
+    with a clear error, not silently zero-weight the missing sites."""
+    from pynama_tpu.ibm.coupling import LatticeIBMCoupling
+    from pynama_tpu.mesh.unstructured import UnstructuredQuadMesh
+    from tests.test_unstructured import box_corner_mesh
+
+    pts, quads = box_corner_mesh(16, 16)
+    um = UnstructuredQuadMesh(pts * 2.0 - 1.0, quads, ngl=3)
+    h = 2.0 / 16 / 2
+    body = Circle(center=np.zeros(2), radius=0.3).generate(h)
+    with pytest.raises(ValueError, match="lattice sites"):
+        LatticeIBMCoupling(um, body.dl, h_min=h,
+                           envelope=((-0.4, -0.4), (0.4, 1.2)))
+
+
 def _write_box_msh(path, n, lo, hi):
     """Uniform n x n quad grid over [lo,hi]^2 as a gmsh v2.2 file."""
     W = n + 1
@@ -235,3 +317,31 @@ def test_static_cylinder_on_gmsh_domain(tmp_path):
     slip = np.asarray(p.coupling.interp(p.vel, nodes, weights))
     assert np.abs(slip).max() < 1e-6, np.abs(slip).max()
     assert p.cd_history and p.cd_history[-1][0] > 0
+
+
+def test_moving_cylinder_on_gmsh_domain(tmp_path):
+    """End-to-end ibm-dynamic on a gmsh-file domain: the lattice window
+    path recomputes windows from the body position each step on device
+    (parity: immersed_boundary.py:335-434's per-step DMPlex rebuild) and
+    enforces no-slip at the MOVING body's velocity."""
+    from pynama_tpu.cases.immersed import ImmersedBoundaryDynamicProblem
+    from pynama_tpu.ibm.coupling import LatticeIBMCoupling
+
+    msh = tmp_path / "ibm-box.msh"
+    _write_box_msh(msh, 24, -3.0, 3.0)
+    cfg = ibm_config()
+    cfg["domain"] = {"ngl": 3, "gmsh-file": str(msh), "h-min": "6/24"}
+    cfg["bodies"][0]["vel"] = "dynamic"
+    cfg["bodies"][0]["radius"] = 0.3
+    p = ImmersedBoundaryDynamicProblem(cfg).setup()
+    assert isinstance(p.coupling, LatticeIBMCoupling)
+    vort, t, n = p.run(max_steps=2)
+    assert np.isfinite(np.asarray(vort)).all()
+    d0, _ = p.body.bodies[0].state_at(0.0)
+    d1, _ = p.body.bodies[0].state_at(t)
+    assert not np.allclose(d0, d1)  # the body actually moved
+    X = jnp.asarray(p.body.coords_at(t), dtype=p.dtype)
+    Ub = np.asarray(p.body.velocity_at(t))
+    nodes, weights = p.coupling.windows(X)
+    slip = np.asarray(p.coupling.interp(p.vel, nodes, weights)) - Ub
+    assert np.abs(slip).max() < 1e-6, np.abs(slip).max()

@@ -343,6 +343,82 @@ def bench_sharded(n_dev):
     return ms, n_dofs
 
 
+def bench_channel3d():
+    """Steady-state per-step time for BASELINE config 5 (3D hex channel).
+
+    Same protocol as bench_ours — host dt controller + one compiled
+    dispatch per BS5 attempt (7-stage scan inside), huge tolerances so
+    every attempt is accepted and a step is exactly 7 RHS evals — on the
+    channel3d box (configs/channel3d.yaml geometry). Setup + compile are
+    timed separately and excluded from the per-step number.
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PYNAMA_JAX_CACHE",
+                                     "/tmp/pynama-jax-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from pynama_tpu.cases.uniform import UniformFlowProblem
+    from pynama_tpu.solvers.rk import (make_attempt_host_stepper,
+                                       make_bs5_scan_attempt)
+
+    nelem = [int(x) for x in
+             os.environ.get("BENCH_NELEM3D", "32,32,80").split(",")]
+    dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
+    cfg = {
+        "name": "channel3d-bench",
+        "material-properties": {"rho": 1.0, "mu": 0.01},
+        "domain": {
+            "ngl": NGL,
+            "box-mesh": {"nelem": nelem, "lower": [0, 0, 0],
+                         "upper": [1, 1, 2.5]},
+        },
+        "time-solver": {"start-time": 0.0, "end-time": 100.0,
+                        "max-steps": 10000},
+        "kle-rtol": KLE_RTOL,
+        "kle-maxiter": int(os.environ.get("BENCH_KLE_MAXITER", "4000")),
+    }
+    t_setup0 = time.perf_counter()
+    p = UniformFlowProblem(cfg, dtype=dtype).setup()
+    setup_s = time.perf_counter() - t_setup0
+    n_dofs = p.mesh.n_nodes * p.dim
+    print(f"channel3d: {n_dofs} dofs ({'x'.join(map(str, nelem))} ngl={NGL}),"
+          f" setup {setup_s:.1f} s, platform {jax.devices()[0].platform}",
+          file=sys.stderr)
+
+    def rhs(t, w, vel_ws):
+        return p.transport_rhs(t, w, vel_ws)
+
+    attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12))
+    step = make_attempt_host_stepper(attempt)
+
+    w = p.initial_vorticity()
+    vel = p.zero_vel()
+    if getattr(p, "_blocked", False):
+        w, vel = p._blk(w), p._blk(vel)
+    t = jnp.asarray(0.0, dtype=dtype)
+    dt = jnp.asarray(float(os.environ.get("BENCH_DT", "1e-3")), dtype=dtype)
+    t_end = jnp.asarray(1e9, dtype=dtype)
+    t_c0 = time.perf_counter()
+    f1, vel = rhs(t, w, vel)
+    jax.block_until_ready((f1, vel))
+    res = step(w, t, dt, vel, f1, t_end)  # warmup/compile
+    jax.block_until_ready(res.y)
+    print(f"channel3d: compile+warmup {time.perf_counter() - t_c0:.1f} s",
+          file=sys.stderr)
+    w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        res = step(w, t, dt, vel, f1, t_end)
+        w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+    jax.block_until_ready(w)
+    ms = (time.perf_counter() - t0) / STEPS * 1e3
+    assert np.isfinite(np.asarray(jax.device_get(res.f_new))).all()
+    return ms, n_dofs, setup_s
+
+
 def bench_baseline():
     """scipy re-implementation of the reference per-step algorithm."""
     import scipy.sparse as sp
@@ -448,6 +524,13 @@ def main():
     if "--baseline" in sys.argv:
         # subprocess mode: measure the scipy-LU baseline on CPU, print ms
         print(json.dumps({"baseline_ms": bench_baseline()}))
+        return
+    if "--channel3d" in sys.argv:
+        ms, n_dofs, setup_s = bench_channel3d()
+        print(json.dumps({"metric": "channel3d_ms_per_step",
+                          "value": round(ms, 3), "unit": "ms",
+                          "n_dofs": n_dofs, "kle_rtol": KLE_RTOL,
+                          "dtype": DTYPE, "setup_s": round(setup_s, 1)}))
         return
     if "--sharded" in sys.argv or os.environ.get("BENCH_SHARDED"):
         n_dev = int(os.environ.get("BENCH_SHARDED", "1"))

@@ -53,7 +53,15 @@ def _cfg(max_dt=None, nelem=(144, 96), lower=(-6, -6), upper=(12, 6)):
     ts = {"start-time": 0, "end-time": 40.0, "max-steps": 500, "dt0": 0.01}
     if max_dt:
         ts["max-dt"] = max_dt
+    extra = {}
+    if os.environ.get("PYNAMA_IBM_REFINE") == "1":
+        # TPU runs (scripts/run_ibm_regression_tpu.py): f64 V-cycles are
+        # ~200x f32 on-chip, so use the production mixed-precision path
+        # (f64 state + defect residuals, f32 multigrid inner solves) —
+        # same true 1e-8 residuals
+        extra["kle-refine"] = True
     return {
+        **extra,
         "name": "cyl-re40-regression",
         "material-properties": {"rho": 1.0, "mu": 0.025},
         "domain": {"ngl": 3, "box-mesh": {"nelem": list(nelem),
@@ -146,7 +154,10 @@ def test_cylinder_re100_strouhal():
             return jnp.asarray(w.reshape(self._gshape(self.dim_w)),
                                dtype=self.dtype)
 
+    extra = ({"kle-refine": True}
+             if os.environ.get("PYNAMA_IBM_REFINE") == "1" else {})
     cfg = {
+        **extra,
         "name": "cyl-re100-strouhal",
         "material-properties": {"rho": 1.0, "mu": 0.01},
         "domain": {"ngl": 3, "box-mesh": {"nelem": [96, 64],

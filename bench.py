@@ -211,8 +211,12 @@ def bench_ours(refine=False):
         cfg = cavity_config()
     if os.environ.get("BENCH_NO_MG") == "1":  # Jacobi-CG, comparable to
         cfg["multigrid"] = False              # the sharded path's solver
+    t_setup0 = time.perf_counter()
     p = CavityProblem(cfg, dtype=dtype).setup()
+    setup_s = time.perf_counter() - t_setup0
     n_dofs = p.mesh.n_nodes * p.dim
+    print(f"setup ({'parity' if refine else DTYPE}): {setup_s:.1f} s "
+          f"at {n_dofs} dofs", file=sys.stderr)
 
     def rhs(t, w, vel_ws):
         return p.transport_rhs(t, w, vel_ws)
@@ -236,8 +240,11 @@ def bench_ours(refine=False):
     jax.block_until_ready((f1, vel))
 
     # warmup (compile + first solve from cold start)
+    t_c0 = time.perf_counter()
     res = step(w, t, dt, vel, f1, t_end)
     jax.block_until_ready(res.y)
+    print(f"compile+warmup: {time.perf_counter() - t_c0:.1f} s",
+          file=sys.stderr)
     w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
 
     t0 = time.perf_counter()
@@ -278,7 +285,8 @@ def bench_ours(refine=False):
         true_res = float(res.resnorm) / max(bnorm, 1e-300)
         print(f"parity check: f64 true relative residual {true_res:.3e} "
               f"(gate 1e-8, {int(res.iters)} inner iters)", file=sys.stderr)
-    return elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform, true_res
+    return (elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform,
+            true_res, setup_s)
 
 
 def bench_sharded(n_dev):
@@ -552,12 +560,12 @@ def main():
     # the axon TPU worker occasionally needs a restart after a prior
     # kernel fault; one retry covers the flake
     try:
-        ours_ms, n_dofs, platform, _ = bench_ours()
+        ours_ms, n_dofs, platform, _, setup_s = bench_ours()
     except Exception as e:  # pragma: no cover
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
         time.sleep(30)
-        ours_ms, n_dofs, platform, _ = bench_ours()
+        ours_ms, n_dofs, platform, _, setup_s = bench_ours()
 
     # PARITY row: f64 state + mixed-precision refinement, TRUE 1e-8
     # residuals (the metric BASELINE.md defines the 10x target against —
@@ -566,7 +574,7 @@ def main():
     parity_ms = parity_res = None
     if os.environ.get("BENCH_PARITY", "1") == "1":
         try:
-            parity_ms, _, _, parity_res = bench_ours(refine=True)
+            parity_ms, _, _, parity_res, _ = bench_ours(refine=True)
         except Exception as e:  # pragma: no cover
             print(f"parity bench failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
@@ -601,6 +609,7 @@ def main():
             "vs_baseline": (round(baseline_ms / parity_ms, 3)
                             if baseline_ms else None),
             "true_f64_rel_residual": parity_res,
+            "setup_s": round(setup_s, 1),
             "ladder": {
                 "rtol1e-5_f32": {
                     "ms": round(ours_ms, 3),
@@ -621,6 +630,7 @@ def main():
             "unit": "ms",
             "vs_baseline": (round(baseline_ms / ours_ms, 3)
                             if baseline_ms else None),
+            "setup_s": round(setup_s, 1),
         }
     print(json.dumps(out))
 

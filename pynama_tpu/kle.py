@@ -139,6 +139,7 @@ def solve_ir(
     maxiter: int = 4000,
     max_rounds: int = 4,
     inner_rtol: float = 1e-4,
+    adaptive_inner: bool = True,
     m_inv32=None,
     dot=sumdot,
 ) -> CGResult:
@@ -154,6 +155,11 @@ def solve_ir(
     the f64 iterate accumulates the corrections. Each round multiplies
     the TRUE residual by ~inner_rtol, so 1e-8 from a warm start is
     typically one round.
+
+    adaptive_inner (default): each round's inner tolerance is opened up
+    to 0.3x the reduction actually remaining (never looser than 5e-2,
+    never tighter than inner_rtol) — warm-started solves stop
+    over-converging their correction; cold starts are unchanged.
 
     vort/u_bc/free_mask are f64 (solver layout); free_mask32/m_inv32 the
     f32 mask and preconditioner for the inner solves.
@@ -179,11 +185,25 @@ def solve_ir(
 
     def body(state):
         x, r, rr, rounds, iters = state
+        # Adaptive inner tolerance: each round only needs to shrink the
+        # TRUE residual from sqrt(rr) down to sqrt(tol2), so ask the f32
+        # correction solve for that reduction (x0.3 safety) instead of
+        # the full inner_rtol. Cold starts (reduction <= inner_rtol)
+        # behave exactly as before; warm-started stage solves typically
+        # sit 1-2 decades above target, where a fixed 1e-4 inner solve
+        # wastes most of its V-cycle iterations over-converging.
+        if adaptive_inner:
+            need = jnp.sqrt(tol2 / jnp.maximum(rr, jnp.finfo(x.dtype).tiny))
+            inner_t = jnp.clip(
+                0.3 * need, inner_rtol, max(5e-2, inner_rtol)
+            ).astype(jnp.float32)
+        else:
+            inner_t = inner_rtol
         d = cg_solve(
             lambda v: sys32.apply_masked(v, free_mask32),
             r.astype(jnp.float32),
             m_inv=m_inv32,
-            rtol=inner_rtol,
+            rtol=inner_t,
             maxiter=maxiter,
             dot=dot,
         )

@@ -129,3 +129,40 @@ def test_mixed_precision_refinement_reaches_true_residual():
     err = float(jnp.linalg.norm((u - u_ref).reshape(-1)) /
                 jnp.linalg.norm(u_ref.reshape(-1)))
     assert err < 1e-8, err
+
+
+def test_adaptive_inner_rtol_saves_warm_iterations():
+    """solve_ir adaptive inner tolerance: a warm-started refinement round
+    asks the f32 inner solve only for the residual reduction it still
+    needs, spending fewer CG iterations than the fixed inner_rtol while
+    still landing the TRUE f64 residual under rtol."""
+    import jax.numpy as jnp
+
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.kle import solve_ir
+    from tests.test_cases import make_config
+
+    cfg = make_config((8, 8), 3, rho=1.0, mu=0.1, end=0.1, max_steps=3)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    cfg["kle-refine"] = True
+    p = CavityProblem(cfg).setup()
+    w0 = p.initial_vorticity()
+    w0s = p._blk(w0) if p._blocked else w0
+    u_bc = p._solver_bc(0.0)
+    mask = p._m("free_mask_fs")
+    m32 = mask.astype(jnp.float32)
+    kw = dict(rtol=1e-8, m_inv32=getattr(p, "_minv_fs", None))
+    cold = solve_ir(p.system, p.system32, w0s, u_bc, mask, m32, **kw)
+    # emulate the next RK stage's system: nonzero vorticity, warm start
+    w1 = p.operators.curl(cold.x).astype(w0s.dtype) * 0.5
+    b = p.system.rhs(w1, u_bc, mask)
+    bn = float(jnp.linalg.norm(b.reshape(-1)))
+    iters = {}
+    for ad in (False, True):
+        res = solve_ir(p.system, p.system32, w1, u_bc, mask, m32,
+                       x0=cold.x, adaptive_inner=ad, **kw)
+        r = b - p.system.apply_masked(res.x, mask)
+        rel = float(jnp.linalg.norm(r.reshape(-1))) / bn
+        assert rel < 1e-8, (ad, rel)
+        iters[ad] = int(res.iters)
+    assert iters[True] <= iters[False], iters

@@ -518,6 +518,26 @@ def bench_baseline():
     return elapsed / max(1, STEPS) * 1e3  # ms per step (7 rhs evals)
 
 
+def _baseline_ms():
+    """Cached scipy-LU baseline ms/step (measure w/ BENCH_MEASURE_BASELINE)."""
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        cache = json.load(open(BASELINE_CACHE))
+    key = f"cavity-{NELEM}-{NGL}"
+    if os.environ.get("BENCH_MEASURE_BASELINE") == "1":
+        import subprocess
+
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--baseline"],
+            capture_output=True, text=True, env=os.environ,
+        )
+        ms = json.loads(r.stdout.strip().splitlines()[-1])["baseline_ms"]
+        cache[key] = {"ms_per_step": ms, "host": "1-core container"}
+        json.dump(cache, open(BASELINE_CACHE, "w"), indent=1)
+        return ms
+    return cache.get(key, {}).get("ms_per_step")
+
+
 def main():
     # sitecustomize pins the axon TPU plugin before env is consulted;
     # honor JAX_PLATFORMS explicitly (cf. run_case.py main)
@@ -548,14 +568,17 @@ def main():
                           "n_dofs": n_dofs}))
         return
 
-    # phase breakdown (stderr) ahead of the north-star number, so every
-    # recorded bench comes with per-op times + CG iteration counts
-    if os.environ.get("BENCH_NO_PROFILE") != "1":
-        try:
-            profile()
-        except Exception as e:  # pragma: no cover - keep the metric alive
-            print(f"profile phase skipped ({type(e).__name__}: {e})",
-                  file=sys.stderr)
+    # The driver parses the LAST json line on stdout and runs under a
+    # fixed wall budget (BENCH_r04 was rc=124/parsed=null: the parity leg
+    # never finished, so the already-measured f32 number was lost). The
+    # order here is budget-defensive: measure the cheap f32 leg FIRST and
+    # emit a complete headline immediately, then upgrade the headline
+    # in-place after each later leg (profile niceties, then the parity
+    # leg) — a timeout at any point still leaves a parsed artifact.
+    baseline_ms = _baseline_ms()
+
+    def vs(ms):
+        return round(baseline_ms / ms, 3) if baseline_ms else None
 
     # the axon TPU worker occasionally needs a restart after a prior
     # kernel fault; one retry covers the flake
@@ -567,72 +590,51 @@ def main():
         time.sleep(30)
         ours_ms, n_dofs, platform, _, setup_s = bench_ours()
 
+    ladder = {"rtol1e-5_f32": {"ms": round(ours_ms, 3),
+                               "vs_baseline": vs(ours_ms)}}
+    out = {
+        "metric": f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_{platform}",
+        "value": round(ours_ms, 3),
+        "unit": "ms",
+        "vs_baseline": vs(ours_ms),
+        "setup_s": round(setup_s, 1),
+        "ladder": ladder,
+    }
+    print(json.dumps(out), flush=True)
+
+    # phase breakdown (stderr): per-op times + CG iteration counts +
+    # device-allocation report; diagnostics only, after the first headline
+    if os.environ.get("BENCH_NO_PROFILE") != "1":
+        try:
+            profile()
+        except Exception as e:  # pragma: no cover - keep the metric alive
+            print(f"profile phase skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     # PARITY row: f64 state + mixed-precision refinement, TRUE 1e-8
     # residuals (the metric BASELINE.md defines the 10x target against —
     # the reference's LU backsolves give f64 machine-precision residuals).
     # BENCH_PARITY=0 skips it (e.g. quick f32-only runs).
-    parity_ms = parity_res = None
     if os.environ.get("BENCH_PARITY", "1") == "1":
         try:
-            parity_ms, _, _, parity_res, _ = bench_ours(refine=True)
+            parity_ms, _, _, parity_res, parity_setup = bench_ours(refine=True)
         except Exception as e:  # pragma: no cover
             print(f"parity bench failed ({type(e).__name__}: {e})",
                   file=sys.stderr)
-
-    baseline_ms = None
-    cache = {}
-    if os.path.exists(BASELINE_CACHE):
-        cache = json.load(open(BASELINE_CACHE))
-    key = f"cavity-{NELEM}-{NGL}"
-    if os.environ.get("BENCH_MEASURE_BASELINE") == "1":
-        import subprocess
-
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--baseline"],
-            capture_output=True, text=True, env=os.environ,
-        )
-        baseline_ms = json.loads(r.stdout.strip().splitlines()[-1])["baseline_ms"]
-        cache[key] = {"ms_per_step": baseline_ms, "host": "1-core container"}
-        json.dump(cache, open(BASELINE_CACHE, "w"), indent=1)
-    elif key in cache:
-        baseline_ms = cache[key]["ms_per_step"]
-
-    # headline = the PARITY number when available (true f64-verified 1e-8
-    # residual, matching the reference LU); the f32 rtol-1e-5 row rides
-    # along in the ladder
-    if parity_ms is not None:
-        out = {
-            "metric": (f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_"
-                       f"{platform}_true1e-8"),
-            "value": round(parity_ms, 3),
-            "unit": "ms",
-            "vs_baseline": (round(baseline_ms / parity_ms, 3)
-                            if baseline_ms else None),
-            "true_f64_rel_residual": parity_res,
-            "setup_s": round(setup_s, 1),
-            "ladder": {
-                "rtol1e-5_f32": {
-                    "ms": round(ours_ms, 3),
-                    "vs_baseline": (round(baseline_ms / ours_ms, 3)
-                                    if baseline_ms else None),
-                },
-                "true1e-8_f64ir": {
-                    "ms": round(parity_ms, 3),
-                    "vs_baseline": (round(baseline_ms / parity_ms, 3)
-                                    if baseline_ms else None),
-                },
-            },
-        }
-    else:
-        out = {
-            "metric": f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_{platform}",
-            "value": round(ours_ms, 3),
-            "unit": "ms",
-            "vs_baseline": (round(baseline_ms / ours_ms, 3)
-                            if baseline_ms else None),
-            "setup_s": round(setup_s, 1),
-        }
-    print(json.dumps(out))
+        else:
+            ladder["true1e-8_f64ir"] = {"ms": round(parity_ms, 3),
+                                        "vs_baseline": vs(parity_ms)}
+            out = {
+                "metric": (f"cavity_ns_wallclock_per_timestep_{n_dofs}dof_"
+                           f"{platform}_true1e-8"),
+                "value": round(parity_ms, 3),
+                "unit": "ms",
+                "vs_baseline": vs(parity_ms),
+                "true_f64_rel_residual": parity_res,
+                "setup_s": round(parity_setup, 1),
+                "ladder": ladder,
+            }
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

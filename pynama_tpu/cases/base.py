@@ -92,6 +92,10 @@ class BaseProblem:
         # the TPU route to the reference-LU 1e-8 residual parity
         self._refine = bool(config.get("kle-refine")) and dtype == jnp.float64
         self.kle_inner_rtol = float(config.get("kle-inner-rtol", 1e-4))
+        # per-round inner-tolerance scheduling (kle.py solve_ir
+        # adaptive_inner); config escape hatch in case a transient shows
+        # net regressions from the slightly-noisier converged iterates
+        self.kle_adaptive_inner = bool(config.get("kle-adaptive-inner", True))
 
         bc = config.get("boundary-conditions")
         if bc is not None:
@@ -468,6 +472,7 @@ class FreeSlipProblem(BaseProblem):
                 rtol=rtol if rtol is not None else self.kle_rtol,
                 maxiter=maxiter if maxiter is not None else self.kle_maxiter,
                 inner_rtol=self.kle_inner_rtol,
+                adaptive_inner=self.kle_adaptive_inner,
                 m_inv32=getattr(self, "_minv", None),
             )
             return restore(res.x)

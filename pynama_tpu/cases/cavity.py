@@ -126,6 +126,7 @@ class NoSlipProblem(BaseProblem):
                     self.system, self.system32, w, u_bc, m,
                     m.astype(jnp.float32), x0=x0_, rtol=rtol,
                     maxiter=maxiter, inner_rtol=self.kle_inner_rtol,
+                    adaptive_inner=self.kle_adaptive_inner,
                     m_inv32=minv,
                 )
 

@@ -159,7 +159,12 @@ def solve_ir(
     adaptive_inner (default): each round's inner tolerance is opened up
     to 0.3x the reduction actually remaining (never looser than 5e-2,
     never tighter than inner_rtol) — warm-started solves stop
-    over-converging their correction; cold starts are unchanged.
+    over-converging their correction; cold starts are unchanged. The
+    0.3 safety factor assumes the inner f32 solve's RECURSIVE residual
+    reduction carries over to the TRUE residual; near the f32 apply
+    floor (~3e-6 relative) a round can under-deliver, costing one extra
+    f64 defect apply + inner solve out of max_rounds — never
+    correctness, since the outer loop measures true f64 residuals.
 
     vort/u_bc/free_mask are f64 (solver layout); free_mask32/m_inv32 the
     f32 mask and preconditioner for the inner solves.

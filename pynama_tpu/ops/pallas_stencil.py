@@ -27,6 +27,7 @@ VMEM budget per shape (the 2D kernel's fixed 16 can exceed VMEM at 3D
 channel counts).
 """
 
+import os
 from functools import lru_cache, partial
 
 import jax
@@ -35,6 +36,31 @@ import numpy as np
 
 _TR = 16  # stripe rows (leading block axis) per grid step
 
+# In-kernel dot precision (f32 operands): HIGHEST = true f32 via 6 bf16
+# MXU passes, HIGH = bf16x3 (~half the MXU work, ~2 bits worse tails).
+# The f32 stencil applies feed (a) recurrence-tolerance CG at rtol>=1e-5
+# and (b) solve_ir inner corrections whose TRUE residual is re-measured
+# in f64 each round, so bf16x3 noise never reaches correctness — the
+# default is set from the on-chip accuracy/speed measurement recorded in
+# run-artifacts/pallas_verify.json (scripts/verify_pallas_tpu.py).
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _dot_precision():
+    return _PRECISIONS[os.environ.get("PYNAMA_STENCIL_PRECISION", "highest")]
+
+
+def _variant():
+    """Kernel variant: 'xc' folds innermost-axis taps into channels
+    (F aligned matmuls in 2D, F^2 in 3D); 'flat' is the round-3/4
+    flat-window kernel (F^dim misaligned matmuls), kept for A/B
+    measurement via PYNAMA_STENCIL_KERNEL=flat."""
+    return os.environ.get("PYNAMA_STENCIL_KERNEL", "xc")
+
 try:  # import guarded so CPU-only environments never touch pallas
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -42,9 +68,16 @@ except Exception:  # pragma: no cover
     pl = None
 
 
+def _interpret():
+    """Run the kernels in Pallas interpret mode (CPU correctness tests)."""
+    return os.environ.get("PYNAMA_PALLAS_INTERPRET", "0") == "1"
+
+
 @lru_cache(maxsize=None)
 def _backend_is_tpu():
     try:
+        if pl is not None and _interpret():
+            return True
         return pl is not None and jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
@@ -62,8 +95,8 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 @lru_cache(maxsize=None)
-def _plan(xb_shape, dtype, w_shape):
-    """Stripe height TR for the flat-window kernel, or None (fallback)."""
+def _plan(xb_shape, dtype, w_shape, variant="xc"):
+    """Stripe height TR for the stencil kernel, or None (fallback)."""
     if not _backend_is_tpu():
         return None
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
@@ -80,45 +113,164 @@ def _plan(xb_shape, dtype, w_shape):
     if c_in < 64 or c_out < 64:
         return None
     Q = (F - 1) // 2
+    wb = _tiled(w_shape)
     if dim == 2:
         B2 = xb_shape[1]
         W2 = B2 + 2 * Q
-        win = _tiled(((_TR + 2 * Q) * W2 + 2 * Q, c_in))
-        blocks = _tiled((_TR, B2, c_in)) * 2 + _tiled((Q, B2, c_in)) * 2
-        acc = _tiled((_TR * W2, c_out)) * 2 + _tiled((_TR, B2, c_out)) * 2
-        wb = _tiled(w_shape)
-        if win + blocks + acc + wb < _VMEM_BUDGET:
-            return _TR
+        for TR in (16, 8, 4, 2, 1):
+            if TR % Q != 0:
+                continue
+            blocks = _tiled((TR, B2, c_in)) * 2 + _tiled((Q, B2, c_in)) * 2
+            if variant == "xc":
+                B2p = -(-B2 // 8) * 8
+                win = _tiled((TR + 2 * Q, B2p, F * c_in))
+                acc = (_tiled((TR * B2p, c_out)) * 2
+                       + _tiled((TR, B2, c_out)) * 2)
+            else:
+                win = _tiled(((TR + 2 * Q) * W2 + 2 * Q, c_in))
+                acc = (_tiled((TR * W2, c_out)) * 2
+                       + _tiled((TR, B2, c_out)) * 2)
+            if win + blocks + acc + wb < _VMEM_BUDGET:
+                return TR
         return None
     # 3D: pick the largest stripe height that fits VMEM (the per-stripe
-    # working set scales with the full (B2, B3) plane). The 3D kernel
-    # raises Mosaic's scoped limit to 64 MB; budget the ESTIMATE at 24 MB
+    # working set scales with the full (B2, B3) plane). The 3D kernels
+    # raise Mosaic's scoped limit to 64 MB; budget the ESTIMATE at 24 MB
     # (double-buffering and scheduler temporaries run the true footprint
     # to ~2x the sum below).
     B2, B3 = xb_shape[1], xb_shape[2]
     W2, W3 = B2 + 2 * Q, B3 + 2 * Q
-    wb = _tiled(w_shape)
     for TR in (16, 8, 4, 2, 1):
         if TR % Q != 0:
             continue
-        NF3 = (TR + 2 * Q) * W2 * W3 + 2 * Q * W3 + 2 * Q
-        M = TR * W2 * W3
-        win = _tiled((NF3, c_in))
         blocks = (_tiled((TR, B2, B3, c_in)) * 2
                   + _tiled((Q, B2, B3, c_in)) * 2)
-        acc = _tiled((M, c_out)) * 2 + _tiled((TR, B2, B3, c_out))
+        if variant == "xc":
+            B3p = -(-B3 // 8) * 8
+            M = TR * W2 * B3p
+            win = _tiled(((TR + 2 * Q) * W2 + 2 * Q, B3p, F * c_in))
+            acc = _tiled((M, c_out)) * 2 + _tiled((TR, B2, B3, c_out))
+        else:
+            NF3 = (TR + 2 * Q) * W2 * W3 + 2 * Q * W3 + 2 * Q
+            M = TR * W2 * W3
+            win = _tiled((NF3, c_in))
+            acc = _tiled((M, c_out)) * 2 + _tiled((TR, B2, B3, c_out))
         if win + blocks + acc + wb < 24 * 1024 * 1024:
             return TR
     return None
 
 
 def pallas_ok(xb_shape, dtype, w_shape):
-    """Can the tiled flat-window VMEM kernel handle this apply?"""
+    """Can the tiled VMEM stencil kernel handle this apply?"""
     return _plan(tuple(xb_shape), jnp.dtype(dtype).name,
-                 tuple(w_shape)) is not None
+                 tuple(w_shape), _variant()) is not None
 
 
-def _kernel(F, TR, B2, c_in, c_out, cur_ref, prev_ref, next_ref,
+def _sup(n):  # round up to the f32 sublane tile
+    return -(-n // 8) * 8
+
+
+def _kernel_xc(F, TR, B2, c_in, c_out, prec, cur_ref, prev_ref, next_ref,
+               w_ref, o_ref, xc_ref):
+    """2D stencil, axis-2 taps folded into channels.
+
+    xc[r, j, q2*C:(q2+1)*C] = x[r - Q, j + q2 - Q] (stripe-local rows,
+    zero-extended), so tap q1 is the CONTIGUOUS leading-axis slice
+    [q1, q1+TR) and the apply is F large ALIGNED matmuls
+    (TR*B2p, F*C) @ (F*C, c_out) — vs the flat-window kernel's F^2
+    sublane-misaligned ones. The scratch row pitch B2p is padded to the
+    f32 sublane tile so the (TR, B2p, FC) -> (TR*B2p, FC) collapse is a
+    layout no-op (collapsing into an unaligned sublane extent forces a
+    Mosaic relayout copy). w_ref: (F, F*c_in, c_out), w_ref[q1] rows
+    stacked in q2 order.
+    """
+    Q = (F - 1) // 2
+    B2p = _sup(B2)
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    xc_ref[...] = jnp.zeros(xc_ref.shape, xc_ref.dtype)
+    for q2 in range(F):
+        sh = q2 - Q
+        dst = slice(max(0, -sh), B2 - max(0, sh))
+        src = slice(max(0, sh), B2 - max(0, -sh))
+        ch = slice(q2 * c_in, (q2 + 1) * c_in)
+        xc_ref[Q:Q + TR, dst, ch] = cur_ref[:, src, :]
+
+        @pl.when(i > 0)
+        def _(dst=dst, src=src, ch=ch):
+            xc_ref[0:Q, dst, ch] = prev_ref[:, src, :]
+
+        @pl.when(i < n - 1)
+        def _(dst=dst, src=src, ch=ch):
+            xc_ref[Q + TR:2 * Q + TR, dst, ch] = next_ref[:, src, :]
+
+    acc = None
+    for q1 in range(F):
+        v = jnp.dot(
+            xc_ref[q1:q1 + TR].reshape(TR * B2p, F * c_in), w_ref[q1],
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc = v if acc is None else acc + v
+    o_ref[...] = acc.reshape(TR, B2p, c_out)[:, 0:B2, :]
+
+
+def _kernel3d_xc(F, TR, B2, B3, c_in, c_out, prec, cur_ref, prev_ref,
+                 next_ref, w_ref, o_ref, xc_ref, acc_ref):
+    """3D stencil: axis-3 taps folded into channels, (r, b2) flat rows.
+
+    xc row (r*W2 + b2 + Q) holds x[r - Q, b2, :] with the F axis-3 shifts
+    concatenated along channels; tap (q1, q2) is the contiguous row slice
+    starting at q1*W2 + q2 (junk b2 columns outside [0, B2) cropped by
+    the output slice) — F^2 ALIGNED matmuls of (TR*W2*B3p, F*C) vs the
+    flat kernel's F^3 misaligned ones, and (TR+2Q)*F fill copies vs its
+    (TR+2Q)*B2. B3p pads the sublane pitch so the row collapse is a
+    layout no-op (see _kernel_xc). w_ref: (F, F, F*c_in, c_out).
+    """
+    Q = (F - 1) // 2
+    W2 = B2 + 2 * Q
+    B3p = _sup(B3)
+    M = TR * W2 * B3p
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    xc_ref[...] = jnp.zeros(xc_ref.shape, xc_ref.dtype)
+    for q3 in range(F):
+        sh = q3 - Q
+        dst = slice(max(0, -sh), B3 - max(0, sh))
+        src = slice(max(0, sh), B3 - max(0, -sh))
+        ch = slice(q3 * c_in, (q3 + 1) * c_in)
+        for r in range(TR):
+            off = (r + Q) * W2 + Q
+            xc_ref[off:off + B2, dst, ch] = cur_ref[r, :, src, :]
+
+        @pl.when(i > 0)
+        def _(dst=dst, src=src, ch=ch):
+            for r in range(Q):
+                off = r * W2 + Q
+                xc_ref[off:off + B2, dst, ch] = prev_ref[r, :, src, :]
+
+        @pl.when(i < n - 1)
+        def _(dst=dst, src=src, ch=ch):
+            for r in range(Q):
+                off = (TR + Q + r) * W2 + Q
+                xc_ref[off:off + B2, dst, ch] = next_ref[r, :, src, :]
+
+    first = True
+    for q1 in range(F):
+        for q2 in range(F):
+            off = q1 * W2 + q2
+            v = jnp.dot(
+                xc_ref[off:off + TR * W2].reshape(M, F * c_in),
+                w_ref[q1, q2],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            acc_ref[...] = v if first else acc_ref[...] + v
+            first = False
+    o_ref[...] = acc_ref[...].reshape(TR, W2, B3p, c_out)[:, 0:B2, 0:B3, :]
+
+
+def _kernel(F, TR, B2, c_in, c_out, prec, cur_ref, prev_ref, next_ref,
             w_ref, o_ref, xw_ref):
     Q = (F - 1) // 2
     W2 = B2 + 2 * Q
@@ -149,13 +301,13 @@ def _kernel(F, TR, B2, c_in, c_out, cur_ref, prev_ref, next_ref,
             v = jnp.dot(
                 xw_ref[off:off + M, :], w_ref[q1, q2],
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
             acc = v if acc is None else acc + v
     o_ref[...] = acc.reshape(TR, W2, c_out)[:, 0:B2, :]
 
 
-def _kernel3d(F, TR, B2, B3, c_in, c_out, cur_ref, prev_ref, next_ref,
+def _kernel3d(F, TR, B2, B3, c_in, c_out, prec, cur_ref, prev_ref, next_ref,
               w_ref, o_ref, xw_ref, acc_ref):
     Q = (F - 1) // 2
     W2, W3 = B2 + 2 * Q, B3 + 2 * Q
@@ -194,15 +346,15 @@ def _kernel3d(F, TR, B2, B3, c_in, c_out, cur_ref, prev_ref, next_ref,
                 v = jnp.dot(
                     xw_ref[off:off + M, :], w_ref[q1, q2, q3],
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )
                 acc_ref[...] = v if first else acc_ref[...] + v
                 first = False
     o_ref[...] = acc_ref[...].reshape(TR, W2, W3, c_out)[:, 0:B2, 0:B3, :]
 
 
-def _conv3d_pallas(xb, W, TR):
-    """3D flat-window kernel: leading-axis stripes, (B2, B3) planes flat."""
+def _conv3d_pallas(xb, W, TR, variant):
+    """3D stencil kernel: leading-axis stripes over (B2, B3) planes."""
     F = W.shape[0]
     Q = (F - 1) // 2
     c_in, c_out = W.shape[-2], W.shape[-1]
@@ -212,7 +364,6 @@ def _conv3d_pallas(xb, W, TR):
         xb = jnp.pad(xb, ((0, B1p - B1), (0, 0), (0, 0), (0, 0)))
     n_tiles = B1p // TR
     W2, W3 = B2 + 2 * Q, B3 + 2 * Q
-    NF3 = (TR + 2 * Q) * W2 * W3 + 2 * Q * W3 + 2 * Q
 
     def _i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -228,7 +379,30 @@ def _conv3d_pallas(xb, W, TR):
         return (_i32(jnp.minimum(i * (TR // Q) + TR // Q,
                                  B1p // Q - 1)), _i32(0), _i32(0), _i32(0))
 
-    kern = partial(_kernel3d, F, TR, B2, B3, c_in, c_out)
+    prec = _dot_precision()
+    Wd = jnp.asarray(W, dtype=xb.dtype)
+    if variant == "xc":
+        B3p = -(-B3 // 8) * 8
+        kern = partial(_kernel3d_xc, F, TR, B2, B3, c_in, c_out, prec)
+        # (F, F, F*c_in, c_out): q3 folded into kernel rows
+        Wd = Wd.reshape(F, F, F * c_in, c_out)
+        w_spec = pl.BlockSpec((F, F, F * c_in, c_out),
+                              lambda i: (_i32(0),) * 4,
+                              memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM(((TR + 2 * Q) * W2 + 2 * Q, B3p, F * c_in),
+                       jnp.float32),
+            pltpu.VMEM((TR * W2 * B3p, c_out), jnp.float32),
+        ]
+    else:
+        NF3 = (TR + 2 * Q) * W2 * W3 + 2 * Q * W3 + 2 * Q
+        kern = partial(_kernel3d, F, TR, B2, B3, c_in, c_out, prec)
+        w_spec = pl.BlockSpec(W.shape, lambda i: (_i32(0),) * 5,
+                              memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.VMEM((NF3, c_in), jnp.float32),
+            pltpu.VMEM((TR * W2 * W3, c_out), jnp.float32),
+        ]
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -239,22 +413,19 @@ def _conv3d_pallas(xb, W, TR):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, B2, B3, c_in), im_next,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(W.shape, lambda i: (_i32(0),) * 5,
-                         memory_space=pltpu.VMEM),
+            w_spec,
         ],
         out_specs=pl.BlockSpec((TR, B2, B3, c_out), im_cur,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B1p, B2, B3, c_out), xb.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((NF3, c_in), jnp.float32),
-            pltpu.VMEM((TR * W2 * W3, c_out), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         # the 3D working set (window scratch + double-buffered plane
-        # blocks + F^3 kernel) legitimately exceeds Mosaic's 16 MB
+        # blocks + folded kernel) legitimately exceeds Mosaic's 16 MB
         # default scoped budget at production channel counts
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(xb, xb, xb, jnp.asarray(W, dtype=xb.dtype))
+        interpret=_interpret(),
+    )(xb, xb, xb, Wd)
     if B1p != B1:
         out = out[:B1]
     return out
@@ -265,18 +436,17 @@ def conv_blocked_pallas(xb, W):
     F = W.shape[0]
     Q = (F - 1) // 2
     c_in, c_out = W.shape[-2], W.shape[-1]
+    variant = _variant()
+    TR = _plan(tuple(xb.shape), jnp.dtype(xb.dtype).name,
+               tuple(W.shape), variant)
     if W.ndim - 2 == 3:
-        TR = _plan(tuple(xb.shape), jnp.dtype(xb.dtype).name,
-                   tuple(W.shape))
-        return _conv3d_pallas(xb, W, TR)
+        return _conv3d_pallas(xb, W, TR, variant)
     B1, B2 = xb.shape[0], xb.shape[1]
-    TR = _TR
     B1p = -(-B1 // TR) * TR
     if B1p != B1:
         xb = jnp.pad(xb, ((0, B1p - B1), (0, 0), (0, 0)))
     n_tiles = B1p // TR
     W2 = B2 + 2 * Q
-    NF = (TR + 2 * Q) * W2 + 2 * Q
 
     def _i32(v):
         return jnp.asarray(v, jnp.int32)
@@ -292,7 +462,22 @@ def conv_blocked_pallas(xb, W):
         return (_i32(jnp.minimum(i * (TR // Q) + TR // Q,
                                  B1p // Q - 1)), _i32(0), _i32(0))
 
-    kern = partial(_kernel, F, TR, B2, c_in, c_out)
+    prec = _dot_precision()
+    Wd = jnp.asarray(W, dtype=xb.dtype)
+    if variant == "xc":
+        kern = partial(_kernel_xc, F, TR, B2, c_in, c_out, prec)
+        Wd = Wd.reshape(F, F * c_in, c_out)  # q2 folded into kernel rows
+        w_spec = pl.BlockSpec((F, F * c_in, c_out),
+                              lambda i: (_i32(0),) * 3,
+                              memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((TR + 2 * Q, -(-B2 // 8) * 8, F * c_in),
+                              jnp.float32)]
+    else:
+        NF = (TR + 2 * Q) * W2 + 2 * Q
+        kern = partial(_kernel, F, TR, B2, c_in, c_out, prec)
+        w_spec = pl.BlockSpec(W.shape, lambda i: (_i32(0),) * 4,
+                              memory_space=pltpu.VMEM)
+        scratch = [pltpu.VMEM((NF, c_in), jnp.float32)]
     out = pl.pallas_call(
         kern,
         grid=(n_tiles,),
@@ -300,14 +485,14 @@ def conv_blocked_pallas(xb, W):
             pl.BlockSpec((TR, B2, c_in), im_cur, memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, B2, c_in), im_prev, memory_space=pltpu.VMEM),
             pl.BlockSpec((Q, B2, c_in), im_next, memory_space=pltpu.VMEM),
-            pl.BlockSpec(W.shape, lambda i: (_i32(0),) * 4,
-                         memory_space=pltpu.VMEM),
+            w_spec,
         ],
         out_specs=pl.BlockSpec((TR, B2, c_out), im_cur,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B1p, B2, c_out), xb.dtype),
-        scratch_shapes=[pltpu.VMEM((NF, c_in), jnp.float32)],
-    )(xb, xb, xb, jnp.asarray(W, dtype=xb.dtype))
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+    )(xb, xb, xb, Wd)
     if B1p != B1:
         out = out[:B1]
     return out

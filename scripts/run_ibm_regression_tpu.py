@@ -47,10 +47,28 @@ def main():
     ]:
         if tag not in which:
             continue
-        t0 = time.perf_counter()
-        print(f"[{tag}] start", flush=True)
-        fn()
-        print(f"[{tag}] PASS in {time.perf_counter() - t0:.0f} s", flush=True)
+        # the axon tunnel flakes transiently (remote_compile body closed,
+        # worker UNAVAILABLE after an outage) — retry in-process with no
+        # inner kill (killing a blocked client re-stales the TPU grant
+        # and extends the wedge; see ROUND4_NOTES.md operational notes)
+        for attempt in range(4):
+            t0 = time.perf_counter()
+            print(f"[{tag}] start (attempt {attempt + 1})", flush=True)
+            try:
+                fn()
+            except AssertionError:
+                raise  # a real physics-gate failure, not infrastructure
+            except Exception as e:
+                print(f"[{tag}] infrastructure error after "
+                      f"{time.perf_counter() - t0:.0f} s: "
+                      f"{type(e).__name__}: {e}", flush=True)
+                if attempt == 3:
+                    raise
+                time.sleep(120)
+                continue
+            print(f"[{tag}] PASS in {time.perf_counter() - t0:.0f} s",
+                  flush=True)
+            break
     print("all selected regressions passed", flush=True)
 
 

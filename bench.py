@@ -225,8 +225,11 @@ def bench_ours(refine=False):
     # stages lax.scan inside — the fully-inlined adaptive program OOMs
     # the compiler at this size); huge tolerances -> every attempt
     # accepted -> fixed-dt stepping, so the measured work per step is
-    # exactly 7 RHS evals
-    attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12))
+    # exactly 7 RHS evals. BENCH_WS=1 (default) adds the cross-step
+    # per-stage-slot warm-start extrapolation (solvers/rk.py).
+    ws = os.environ.get("BENCH_WS", "1") == "1"
+    attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12,
+                                            ws_extrapolate=ws))
     step = make_attempt_host_stepper(attempt)
 
     w = p.initial_vorticity()
@@ -238,6 +241,10 @@ def bench_ours(refine=False):
     t_end = jnp.asarray(1e9, dtype=dtype)
     f1, vel = rhs(t, w, vel)
     jax.block_until_ready((f1, vel))
+    if ws:
+        from pynama_tpu.solvers.rk import make_ws_state
+
+        vel = make_ws_state(vel, t)
 
     # warmup (compile + first solve from cold start)
     t_c0 = time.perf_counter()
@@ -399,7 +406,9 @@ def bench_channel3d():
     def rhs(t, w, vel_ws):
         return p.transport_rhs(t, w, vel_ws)
 
-    attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12))
+    ws = os.environ.get("BENCH_WS", "1") == "1"
+    attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12,
+                                            ws_extrapolate=ws))
     step = make_attempt_host_stepper(attempt)
 
     w = p.initial_vorticity()
@@ -412,6 +421,10 @@ def bench_channel3d():
     t_c0 = time.perf_counter()
     f1, vel = rhs(t, w, vel)
     jax.block_until_ready((f1, vel))
+    if ws:
+        from pynama_tpu.solvers.rk import make_ws_state
+
+        vel = make_ws_state(vel, t)
     res = step(w, t, dt, vel, f1, t_end)  # warmup/compile
     jax.block_until_ready(res.y)
     print(f"channel3d: compile+warmup {time.perf_counter() - t_c0:.1f} s",

@@ -96,6 +96,14 @@ class BaseProblem:
         # adaptive_inner); config escape hatch in case a transient shows
         # net regressions from the slightly-noisier converged iterates
         self.kle_adaptive_inner = bool(config.get("kle-adaptive-inner", True))
+        # cross-step per-stage-slot warm-start extrapolation
+        # (solvers/rk.py make_ws_state): each RK stage warm-starts its
+        # KLE solve from the linear-in-time extrapolation of its own
+        # slot's last two accepted solutions instead of the within-step
+        # chain — fewer CG iterations on smooth transients at the cost
+        # of 2*(stages-1) retained velocity fields
+        self.kle_ws_extrapolate = bool(config.get("kle-ws-extrapolate",
+                                                  False))
 
         bc = config.get("boundary-conditions")
         if bc is not None:
@@ -376,6 +384,7 @@ class BaseProblem:
         """
         assert self._setup_done
         dtype = self.dtype
+        ws = self.kle_ws_extrapolate
 
         def rhs(t, w, aux):
             return self.transport_rhs(t, w, aux)
@@ -383,7 +392,14 @@ class BaseProblem:
         step = jax.jit(make_bs5_stepper(rhs, atol=self.ts_atol,
                                         rtol=self.ts_rtol,
                                         wlte_norm=self._wlte_norm(),
-                                        max_dt=self.ts_max_dt))
+                                        max_dt=self.ts_max_dt,
+                                        ws_extrapolate=ws))
+
+        def aux_vel(aux):
+            from pynama_tpu.solvers.rk import ws_aux_vel
+
+            return self._aux_vel(ws_aux_vel(aux) if ws else aux)
+
         # state lives in the solver layout (parity-blocked on TPU meshes);
         # grid/flat only at the IO boundaries below
         blk = self._blk if self._blocked else (lambda x: x)
@@ -401,6 +417,10 @@ class BaseProblem:
             t = jnp.asarray(ck["t"], dtype=dtype)
             dt = jnp.asarray(ck["dt"], dtype=dtype)
             n = ck["step"]
+            if ws:
+                # the slot history needs the steady aux STRUCTURE (dual
+                # problems carry a pair); one extra RHS eval rebuilds it
+                _, vel = rhs(t, vort, vel)
         else:
             vort = blk(self.initial_vorticity())
             vel = blk(self.zero_vel())
@@ -408,6 +428,10 @@ class BaseProblem:
             dt = jnp.asarray(self.dt0, dtype=dtype)
             f1, vel = rhs(t, vort, vel)
             n = 0
+        if ws:
+            from pynama_tpu.solvers.rk import make_ws_state
+
+            vel = make_ws_state(vel, t)
 
         t_end = jnp.asarray(self.t_end, dtype=dtype)
         steps = max_steps if max_steps is not None else self.max_steps
@@ -417,14 +441,14 @@ class BaseProblem:
             n += 1
             if callback is not None:
                 callback(n, float(t), float(dt), unblk(vort),
-                         unblk(self._aux_vel(vel)))
+                         unblk(aux_vel(vel)))
             if checkpoint_path and checkpoint_every and n % checkpoint_every == 0:
                 from pynama_tpu.io.checkpoint import save_checkpoint
 
                 save_checkpoint(
                     checkpoint_path, step=n, t=float(t), dt=float(dt),
                     vort=np.asarray(unblk(vort)).reshape(-1),
-                    vel=np.asarray(unblk(self._aux_vel(vel))).reshape(-1),
+                    vel=np.asarray(unblk(aux_vel(vel))).reshape(-1),
                     f1=np.asarray(unblk(f1)).reshape(-1),
                 )
         # public attributes stay flat (interleaved-dof) at the API boundary

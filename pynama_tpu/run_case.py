@@ -62,6 +62,41 @@ def load_config(case: str, path=None):
     raise FileNotFoundError(f"no YAML config found for case '{case}'")
 
 
+def apply_opts(config, opts):
+    """Merge ``-opt key=value`` overrides into the loaded config dict.
+
+    The analogue of the reference's open PETSc options DB — any flag on
+    argv reaches KSP/TS via setFromOptions (run_case.py:9-10,
+    ksp_solver.py:17, ts_solver.py:26) — for solver knobs not promoted
+    to dedicated CLI flags. Dotted keys address nested sections
+    (``-opt multigrid.pre=2``); values parse as YAML scalars
+    (``-opt kle-rtol=1e-9``, ``-opt multigrid.smoother=jacobi``,
+    ``-opt kle-refine=true``). A section currently holding a scalar
+    (``multigrid: true``) is upgraded to a dict so its sub-keys become
+    addressable.
+    """
+    for item in opts or []:
+        if "=" not in item:
+            raise SystemExit(f"-opt expects key=value, got {item!r}")
+        key, val = item.split("=", 1)
+        val = yaml.safe_load(val)
+        if isinstance(val, str):
+            try:  # YAML 1.1 reads '1e-7' (no dot) as a string
+                val = float(val)
+            except ValueError:
+                pass
+        d = config
+        parts = key.split(".")
+        for p in parts[:-1]:
+            cur = d.get(p)
+            if not isinstance(cur, dict):
+                cur = {}
+                d[p] = cur
+            d = cur
+        d[parts[-1]] = val
+    return config
+
+
 def make_problem(case, config, **overrides):
     import importlib
 
@@ -402,6 +437,12 @@ def main(argv=None):
                          "makefile:2-7). Needs N (virtual or real) "
                          "devices and N | nelem on every MG level's "
                          "last axis for distributed multigrid")
+    ap.add_argument("-opt", action="append", default=[], metavar="KEY=VALUE",
+                    help="override any config entry (repeatable; dotted "
+                         "keys reach nested sections, values parse as "
+                         "YAML): -opt multigrid.smoother=jacobi "
+                         "-opt kle-solver=gmres. The analogue of the "
+                         "reference's open PETSc options DB")
     args = ap.parse_args(argv)
 
     logging.basicConfig(
@@ -420,7 +461,7 @@ def main(argv=None):
                       os.environ.get("PYNAMA_JAX_CACHE",
                                      "/tmp/pynama-jax-cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    config = load_config(args.case, args.config)
+    config = apply_opts(load_config(args.case, args.config), args.opt)
     if args.nelem is not None:
         args.nelem = tuple(args.nelem)
 

@@ -91,6 +91,25 @@ def test_taylor_green_transient():
     assert err < 2e-2, err
 
 
+def test_ws_extrapolation_matches_plain_run():
+    """kle-ws-extrapolate changes only warm starts, not the trajectory.
+
+    Dual-mask cavity (pair aux, the hardest structure): per-slot
+    extrapolated warm starts must reproduce the plain within-step-chain
+    run to solver tolerance — same accepted steps, same final state.
+    """
+    cfg = make_config((8, 8), 3, rho=1.0, mu=0.1, end=0.3, max_steps=8)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    outs = {}
+    for ws in (False, True):
+        p = CavityProblem({**cfg, "kle-ws-extrapolate": ws}).setup()
+        p.run()
+        outs[ws] = np.asarray(p.vort)
+    dv = float(np.linalg.norm(outs[True] - outs[False]))
+    ref = float(np.linalg.norm(outs[False]))
+    assert dv / max(ref, 1e-30) < 1e-6, dv / max(ref, 1e-30)
+
+
 def test_cavity_smoke():
     """Lid-driven cavity: masks, dual solve, a few transient steps."""
     cfg = make_config((8, 8), 3, rho=1.0, mu=0.1, end=0.5, max_steps=10)

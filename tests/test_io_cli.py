@@ -82,6 +82,33 @@ def test_cli_uniform_run(tmp_path):
     assert os.path.exists("run-uniform/uniform-metrics.yaml")
 
 
+def test_apply_opts_nested_and_scalars():
+    """-opt passthrough: the analogue of the open PETSc options DB."""
+    from pynama_tpu.run_case import apply_opts
+
+    cfg = {"multigrid": True, "kle-rtol": 1e-10}
+    apply_opts(cfg, ["multigrid.smoother=jacobi", "multigrid.pre=2",
+                     "kle-solver=gmres", "kle-rtol=1e-7",
+                     "kle-refine=true",
+                     "time-solver.max-steps=3"])
+    assert cfg["multigrid"] == {"smoother": "jacobi", "pre": 2}
+    assert cfg["kle-solver"] == "gmres"
+    assert cfg["kle-rtol"] == pytest.approx(1e-7)
+    assert cfg["kle-refine"] is True
+    assert cfg["time-solver"]["max-steps"] == 3
+    with pytest.raises(SystemExit):
+        apply_opts(cfg, ["no-equals-sign"])
+
+
+def test_cli_opt_passthrough_reaches_solver():
+    """-opt flags change solver behavior from the command line."""
+    r = run_cli("-case", "uniform", "-log", "INFO", "-max-steps", "1",
+                "-opt", "kle-solver=gmres", "-opt", "multigrid=false",
+                "-opt", "save-dir=run-uniform-opt")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists("run-uniform-opt/uniform-metrics.yaml")
+
+
 @pytest.mark.slow
 def test_cli_kle_chart():
     r = run_cli("-case", "taylor-green", "-test", "kle", "-max-ngl", "5",

@@ -90,3 +90,46 @@ def test_rejection_shrinks_dt():
     # stays bounded (accumulated error is O(steps * atol))
     assert n > 10
     assert abs(float(y[0])) < 1e-4
+
+
+def test_ws_extrapolation_scan_attempt_matches_plain():
+    """ws_extrapolate slot bookkeeping never perturbs the y trajectory.
+
+    On an rhs whose derivative ignores the incoming aux (warm starts only
+    affect solver iteration counts in the real problems), the
+    ws-extrapolated scan attempt must produce bit-identical y5/wlte and
+    track each stage's aux output in its slot.
+    """
+    import jax
+
+    from pynama_tpu.solvers.rk import (BS5_STAGES, make_bs5_scan_attempt,
+                                       make_ws_state, ws_aux_vel)
+
+    def rhs(t, y, aux):
+        return -0.7 * y + jnp.sin(t), y * 2.0  # aux out = stage state
+
+    plain = jax.jit(make_bs5_scan_attempt(rhs, atol=1e10, rtol=1e10))
+    ws = jax.jit(make_bs5_scan_attempt(rhs, atol=1e10, rtol=1e10,
+                                       ws_extrapolate=True))
+    y = jnp.asarray(np.linspace(0.3, 1.0, 5))
+    t = jnp.asarray(0.2)
+    dt = jnp.asarray(0.05)
+    f1, aux0 = rhs(t, y, y)
+    y5_p, f_p, w_p, _ = plain(y, t, dt, y, f1)
+    st = make_ws_state(aux0, t)
+    y5_w, f_w, w_w, st1 = ws(y, t, dt, st, f1)
+    np.testing.assert_array_equal(np.asarray(y5_p), np.asarray(y5_w))
+    np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_w))
+    np.testing.assert_array_equal(np.asarray(w_p), np.asarray(w_w))
+    # H1 slots hold each stage's aux output; H2 became the previous H1
+    H1, H2, t_prev, t_pp = st1
+    assert float(t_prev) == 0.2 and float(t_pp) == 0.2
+    assert H1.shape == (BS5_STAGES - 1,) + y.shape
+    np.testing.assert_array_equal(np.asarray(H2), np.asarray(st[0]))
+    # second step: theta = (t2 - t1)/(t1 - t0) is finite and the slot
+    # guesses extrapolate (smoke: runs and advances history)
+    y5_w2, _, _, st2 = ws(y5_w, t + dt, dt, st1, f_w)
+    assert float(st2[2]) == pytest.approx(0.25)
+    np.testing.assert_array_equal(np.asarray(st2[1]), np.asarray(H1))
+    np.testing.assert_array_equal(
+        np.asarray(ws_aux_vel(st2)), np.asarray(st2[0][BS5_STAGES - 2]))

@@ -184,6 +184,11 @@ def profile():
     print(f"  RHS eval (warm):             {(time.perf_counter()-t0)*1e3:8.1f} ms"
           f"  (x7 per BS5 step)", file=sys.stderr)
 
+    # allocation report (printMatsInfo analogue, mat_generator.py:120-130)
+    from pynama_tpu.utils.report import device_report
+
+    print(device_report(p), file=sys.stderr)
+
 
 def bench_ours(refine=False):
     """Per-step time; refine=True runs the PARITY configuration (f64

@@ -132,3 +132,25 @@ def test_vtk_writers(tmp_path):
     assert "VECTORS velocity" in txt
     p2 = write_body_polyline(str(tmp_path / "body.vtk"), coords)
     assert "LINES 1 14" in open(p2).read()
+
+
+def test_device_report_lists_allocations():
+    """printMatsInfo analogue (mat_generator.py:120-130): every major
+    allocation (MG kernels, coarse inverse, masks, elemental matrices)
+    shows up with a path and byte count."""
+    from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.utils.report import collect_arrays, device_report
+
+    cfg = make_config((8, 8), 3, rho=1.0, mu=0.1, end=0.1, max_steps=2)
+    cfg["boundary-conditions"] = {"no-slip": {"up": [1.0, 0.0]}}
+    p = CavityProblem(cfg).setup()
+    p.solve_kle(0.0, p.initial_vorticity())  # populate lazy conv kernels
+    rows = collect_arrays(p, "p")
+    paths = [r[0] for r in rows]
+    assert any(".system.K.A" in s for s in paths), paths[:5]
+    assert any(".mg.coarse_inv" in s for s in paths)
+    assert any("free_mask" in s for s in paths)
+    assert sum(r[3] for r in rows if r[4]) > 0  # device bytes
+    rep = device_report(p, top=10)
+    assert "allocation report" in rep and "MB" in rep
+    assert len(rep.splitlines()) <= 13

@@ -20,6 +20,34 @@ from pynama_tpu.mesh.native import (
 )
 
 
+def _box_wall_groups(points, boundary_elems, named, walls, nodes_of):
+    """Geometric wall classification for unnamed boundaries.
+
+    When a gmsh file carries no standard wall names, boundary elements
+    whose corners all lie on one face of the axis-aligned bounding box
+    (within 1e-9 of the extent) are grouped into that wall's standard
+    name (left/right/down/up[/back/front], same convention as
+    BoxMesh.face_nodes) so named-wall cases run unchanged. No-op when
+    any standard name is already present (physical groups win).
+    """
+    if not len(boundary_elems):
+        return {}
+    std = {w[0] for w in walls}
+    if std & set(named):
+        return {}
+    pts = np.asarray(points)
+    lo, hi = pts.min(axis=0), pts.max(axis=0)
+    tol = 1e-9 * float(np.max(hi - lo) or 1.0)
+    corners = pts[np.asarray(boundary_elems)]      # (nb, nc, dim)
+    out = {}
+    for name, ax, side in walls:
+        val = (lo if side == 0 else hi)[ax]
+        on = np.all(np.abs(corners[..., ax] - val) <= tol, axis=1)
+        if on.any():
+            out[name] = nodes_of(np.asarray(boundary_elems)[on])
+    return out
+
+
 class UnstructuredQuadMesh:
     """2D quad spectral-element mesh from corner connectivity."""
 
@@ -124,18 +152,8 @@ class UnstructuredQuadMesh:
         return np.asarray(sorted(nodes), dtype=np.int32)
 
     @cached_property
-    def face_nodes(self) -> Dict[str, np.ndarray]:
-        return {
-            name: self._line_nodes(pairs)
-            for name, pairs in self._boundary_lines.items()
-        }
-
-    @cached_property
-    def boundary_nodes(self):
-        """All boundary nodes: edges referenced by exactly one cell.
-
-        Parity: markBoundaryFaces 'External Boundary' (dmplex.py:27-28).
-        """
+    def _boundary_pairs(self):
+        """(nb, 2) corner pairs of edges referenced by exactly one cell."""
         counts = {}
         for cell in self._corners_lex:
             for ia, ib in ((0, 1), (2, 3), (0, 2), (1, 3)):
@@ -143,7 +161,38 @@ class UnstructuredQuadMesh:
                 key = (a, b) if a < b else (b, a)
                 counts[key] = counts.get(key, 0) + 1
         pairs = [k for k, v in counts.items() if v == 1]
-        return self._line_nodes(np.asarray(pairs, dtype=np.int64))
+        return np.asarray(pairs, dtype=np.int64)
+
+    @cached_property
+    def face_nodes(self) -> Dict[str, np.ndarray]:
+        """Named boundary node groups.
+
+        Primary: Gmsh physical-group names (mesh/gmsh.py), the analogue
+        of the reference's per-border labels from mesh metadata
+        (dmplex.py:113-131). Fallback when the file ships no standard
+        wall names: boundary edges lying on the axis-aligned bounding
+        box are classified geometrically into left/right/down/up so
+        named-wall cases (cavity) run on unnamed gmsh box meshes; edges
+        off the box (curved boundaries) keep their original group.
+        """
+        named = {
+            name: self._line_nodes(pairs)
+            for name, pairs in self._boundary_lines.items()
+        }
+        named.update(_box_wall_groups(
+            self._corner_coords, self._boundary_pairs, named,
+            (("left", 0, 0), ("right", 0, 1), ("down", 1, 0), ("up", 1, 1)),
+            self._line_nodes,
+        ))
+        return named
+
+    @cached_property
+    def boundary_nodes(self):
+        """All boundary nodes: edges referenced by exactly one cell.
+
+        Parity: markBoundaryFaces 'External Boundary' (dmplex.py:27-28).
+        """
+        return self._line_nodes(self._boundary_pairs)
 
     # -- dof helpers (same layout as BoxMesh) ------------------------------
     def cell_dofs(self, k: int):
@@ -296,18 +345,8 @@ class UnstructuredHexMesh:
         return np.asarray(sorted(nodes), dtype=np.int32)
 
     @cached_property
-    def face_nodes(self) -> Dict[str, np.ndarray]:
-        return {
-            name: self._quad_nodes(quads)
-            for name, quads in self._boundary_quads.items()
-        }
-
-    @cached_property
-    def boundary_nodes(self):
-        """All boundary nodes: faces referenced by exactly one cell.
-
-        Parity: markBoundaryFaces 'External Boundary' (dmplex.py:27-28).
-        """
+    def _boundary_face_quads(self):
+        """(nb, 4) ccw corner quads of faces referenced by exactly one cell."""
         counts = {}
         reps = {}
         # local faces as ccw corner cycles (orientation irrelevant here)
@@ -322,8 +361,32 @@ class UnstructuredHexMesh:
                 key = tuple(sorted(q))
                 counts[key] = counts.get(key, 0) + 1
                 reps[key] = q
-        quads = [reps[k] for k, v in counts.items() if v == 1]
-        return self._quad_nodes(quads)
+        return np.asarray([reps[k] for k, v in counts.items() if v == 1],
+                          dtype=np.int64)
+
+    @cached_property
+    def face_nodes(self) -> Dict[str, np.ndarray]:
+        """Named boundary node groups: physical names + box-wall fallback
+        (see UnstructuredQuadMesh.face_nodes)."""
+        named = {
+            name: self._quad_nodes(quads)
+            for name, quads in self._boundary_quads.items()
+        }
+        named.update(_box_wall_groups(
+            self._corner_coords, self._boundary_face_quads, named,
+            (("left", 0, 0), ("right", 0, 1), ("down", 1, 0), ("up", 1, 1),
+             ("back", 2, 0), ("front", 2, 1)),
+            self._quad_nodes,
+        ))
+        return named
+
+    @cached_property
+    def boundary_nodes(self):
+        """All boundary nodes: faces referenced by exactly one cell.
+
+        Parity: markBoundaryFaces 'External Boundary' (dmplex.py:27-28).
+        """
+        return self._quad_nodes(self._boundary_face_quads)
 
     # -- dof helpers (same layout as BoxMesh) ------------------------------
     def cell_dofs(self, k: int):

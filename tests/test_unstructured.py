@@ -364,3 +364,82 @@ def test_gmsh_quad_case_transient(tmp_path):
         / np.linalg.norm(np.asarray(vel_e))
     assert abs(t - 0.05) < 1e-12
     assert ev < 0.02, ev
+
+
+def _write_msh22_quads(path, pts, quads, blines=None, phys=None):
+    """Minimal ASCII v2.2 writer: quads (+ optional named boundary lines)."""
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        if phys:
+            f.write("$PhysicalNames\n%d\n" % len(phys))
+            for tag, (dim, name) in phys.items():
+                f.write('%d %d "%s"\n' % (dim, tag, name))
+            f.write("$EndPhysicalNames\n")
+        f.write("$Nodes\n%d\n" % len(pts))
+        for i, p in enumerate(pts):
+            f.write("%d %.16g %.16g 0\n" % (i + 1, p[0], p[1]))
+        f.write("$EndNodes\n")
+        elems = []
+        for q in quads:
+            elems.append((3, 0, [v + 1 for v in q]))
+        for tag, pairs in (blines or {}).items():
+            for a, b in pairs:
+                elems.append((1, tag, [a + 1, b + 1]))
+        f.write("$Elements\n%d\n" % len(elems))
+        for i, (et, tag, nodes) in enumerate(elems):
+            f.write("%d %d 2 %d 0 %s\n"
+                    % (i + 1, et, tag, " ".join(map(str, nodes))))
+        f.write("$EndElements\n")
+
+
+def test_geometric_wall_fallback_unnamed_box(tmp_path):
+    """A gmsh box mesh with NO named boundaries still exposes the
+    standard wall groups (geometric fallback; reference labels borders
+    from mesh metadata, dmplex.py:113-131)."""
+    pts, quads = box_corner_mesh(3, 2)
+    path = str(tmp_path / "box.msh")
+    _write_msh22_quads(path, pts, quads)
+    m = UnstructuredQuadMesh.from_gmsh(path, ngl=3)
+    b = BoxMesh(nelem=(3, 2), lower=(0, 0), upper=(1, 1), ngl=3)
+    for wall in ("left", "right", "down", "up"):
+        assert wall in m.face_nodes, m.face_nodes.keys()
+        assert len(m.face_nodes[wall]) == len(b.face_nodes[wall])
+        # same geometric node set (compare coordinates)
+        got = np.sort(m.coords[m.face_nodes[wall]], axis=0)
+        want = np.sort(b.coords[b.face_nodes[wall]], axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_physical_names_win_over_geometry(tmp_path):
+    """Physical wall names disable the geometric fallback entirely."""
+    pts, quads = box_corner_mesh(2, 2)
+    # name ONLY the y=1 wall 'up' (physical tag 7)
+    top = [(i, i + 1) for i in range(6, 8)]
+    path = str(tmp_path / "named.msh")
+    _write_msh22_quads(path, pts, quads, blines={7: top},
+                       phys={7: (1, "up")})
+    m = UnstructuredQuadMesh.from_gmsh(path, ngl=3)
+    assert "up" in m.face_nodes
+    assert "left" not in m.face_nodes  # no fallback once 'up' is named
+
+
+def test_cavity_on_gmsh_box_mesh(tmp_path):
+    """Named-wall cavity runs on an unnamed gmsh box mesh end-to-end."""
+    from pynama_tpu.cases.cavity import CavityProblem
+
+    pts, quads = box_corner_mesh(5, 5)
+    path = str(tmp_path / "cavity.msh")
+    _write_msh22_quads(path, pts, quads)
+    cfg = {
+        "name": "gmsh-cavity",
+        "material-properties": {"rho": 1.0, "mu": 0.1},
+        "domain": {"ngl": 3, "gmsh-file": path},
+        "boundary-conditions": {"no-slip": {"up": [1.0, 0.0]}},
+        "time-solver": {"start-time": 0, "end-time": 0.2, "max-steps": 3},
+        "kle-rtol": 1e-10,
+    }
+    p = CavityProblem(cfg).setup()
+    vort, t, n = p.run()
+    assert n >= 1 and np.isfinite(np.asarray(p.vel)).all()
+    # the lid drags fluid: nonzero interior velocity
+    assert float(np.abs(np.asarray(p.vel)).max()) > 1e-3

@@ -194,6 +194,22 @@ class UnstructuredQuadMesh:
         """
         return self._line_nodes(self._boundary_pairs)
 
+    def nodes_over_line(self, axis: str, value: float):
+        """Node ids (and transverse coordinate) on the line axis=value.
+
+        Parity: getNodesOverline works on any DMPlex mesh
+        (reference dmplex.py:335-345); coordinate-based, so it needs no
+        grid structure — nodes within 1e-8 of the line, sorted by the
+        transverse coordinate (line probes for profiles/plots).
+        """
+        assert axis in ("x", "y")
+        dof, other = (0, 1) if axis == "x" else (1, 0)
+        mask = np.isclose(self.coords[:, dof], value)
+        nodes = np.nonzero(mask)[0]
+        order = np.argsort(self.coords[nodes, other])
+        nodes = nodes[order]
+        return nodes.astype(np.int32), self.coords[nodes, other]
+
     # -- dof helpers (same layout as BoxMesh) ------------------------------
     def cell_dofs(self, k: int):
         c2n = self.cell2node.astype(np.int64)

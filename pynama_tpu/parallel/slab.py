@@ -36,6 +36,18 @@ from pynama_tpu.mesh.structured import BoxMesh
 AXIS = "dev"
 
 
+def _plane_owner(row0, rows):
+    """Owning device of each global node plane.
+
+    Shared interface planes (first plane of device d > 0) belong to
+    device d-1 — the owned_weights/owned_grid_weights convention.
+    """
+    row0 = np.asarray(row0)
+    owner = np.searchsorted(row0, rows, side="right") - 1
+    shared = (owner > 0) & (rows == row0[owner])
+    return np.where(shared, owner - 1, owner)
+
+
 @dataclass
 class SlabDecomposition:
     """Element-slab partition of a BoxMesh over n_dev devices."""
@@ -128,6 +140,18 @@ class SlabDecomposition:
         w[1:, 0] = 0.0
         return w
 
+    def owner_field(self):
+        """(n_nodes,) float: owning device index of every node.
+
+        The analogue of the reference's createNumProcVec rank-ownership
+        debug field (base_problem.py:164-172) — write it with XdmfWriter
+        or io.vtk to inspect the partition visually. Shared interface
+        planes belong to the lower device (owned_weights convention).
+        """
+        rows = np.arange(self.mesh.npts[-1])
+        return np.repeat(_plane_owner(self.row0, rows).astype(np.float64),
+                         self.plane)
+
     # -- device mesh -----------------------------------------------------
     def device_mesh(self, devices=None):
         devices = devices if devices is not None else jax.devices()[: self.n_dev]
@@ -192,6 +216,25 @@ class GridDecomposition:
 
     def local_grid_shape(self, k: int):
         return tuple(reversed(self.local_npts)) + (k,)
+
+    def owner_field(self):
+        """(n_nodes,) float: linear owning-device index of every node.
+
+        Pencil analogue of SlabDecomposition.owner_field (the reference's
+        createNumProcVec, base_problem.py:164-172): per partitioned grid
+        axis the plane owner is computed with the shared-plane-to-lower
+        convention, then axis owners combine row-major in pgrid order
+        (matching np.ndindex(*pgrid) device linearization).
+        """
+        gshape = tuple(reversed(self.mesh.npts))
+        lin = np.zeros(gshape, dtype=np.int64)
+        for j, p in enumerate(self.pgrid):
+            rows = np.arange(gshape[j])
+            own = _plane_owner(self.row0[j], rows)
+            bshape = [1] * len(gshape)
+            bshape[j] = gshape[j]
+            lin = lin * p + own.reshape(bshape)
+        return lin.reshape(-1).astype(np.float64)
 
     def to_local_grid(self, x_global, k: int):
         """flat global -> (pgrid..., local_grid...) stacked local grids."""

@@ -211,6 +211,17 @@ def time_solving_sharded(args, config):
                 "active" if sp._dmg is not None else "OFF (Jacobi-CG)")
     save_dir = config.get("save-dir", f"run-{args.case}")
 
+    # rank-ownership debug field (createNumProcVec analogue,
+    # base_problem.py:164-172): node -> owning device, for visual
+    # partition checks in ParaView
+    from pynama_tpu.io.vtk import write_point_cloud
+
+    os.makedirs(save_dir, exist_ok=True)
+    write_point_cloud(
+        os.path.join(save_dir, "owner.vtk"), np.asarray(p.mesh.coords),
+        fields={"owner": sp.slab.owner_field()},
+    )
+
     t0 = time.perf_counter()
     step_times = []
     last = [t0]

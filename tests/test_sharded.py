@@ -378,3 +378,26 @@ def test_distributed_multigrid_agglomerated_tail():
     fd = sp.unshard(f, p.dim_w)
     err = np.linalg.norm(fd - f_ref) / max(np.linalg.norm(f_ref), 1.0)
     assert err < 1e-6, err
+
+
+def test_owner_field_partition():
+    """createNumProcVec analogue: per-node owning device indices."""
+    from pynama_tpu.mesh.structured import BoxMesh
+    from pynama_tpu.parallel.slab import GridDecomposition
+
+    m = BoxMesh(nelem=(4, 8), lower=(0, 0), upper=(1, 1), ngl=3)
+    sd = SlabDecomposition(m, 4)
+    f = sd.owner_field()
+    assert f.shape == (m.n_nodes,)
+    # 8 elements / 4 devs -> 2 element planes (4 node rows) each + shared
+    g = f.reshape(m.npts[1], m.npts[0])
+    assert set(np.unique(f)) == {0.0, 1.0, 2.0, 3.0}
+    assert np.all(g[0:5] == 0)        # rows 0-4: device 0 (row 4 shared)
+    assert np.all(g[5:9] == 1)
+    assert np.all(g[13:] == 3)
+    # pencil: 2x2 devices over a square mesh
+    gd = GridDecomposition(m, (2, 2))
+    fo = gd.owner_field().reshape(m.npts[1], m.npts[0])
+    assert fo[0, 0] == 0 and fo[-1, -1] == 3
+    assert fo[-1, 0] == 2 and fo[0, -1] == 1
+    assert set(np.unique(fo)) == {0.0, 1.0, 2.0, 3.0}

@@ -305,9 +305,11 @@ def bench_sharded(n_dev):
     """Per-step time of the DISTRIBUTED path on the real device(s).
 
     Runs the shard_map slab decomposition (halo exchange + psum
-    collectives) with host-staged BS5 stepping — a 1-device mesh
-    quantifies the distributed path's overhead vs the single-chip bench
-    (target: within ~1.3x); more devices measure real scaling.
+    collectives) with chunked SPMD stepping — a 1-device mesh quantifies
+    the distributed path's overhead vs the single-chip bench (target:
+    within ~1.1x with the fused controller); more devices measure real
+    scaling. BENCH_CASE=channel3d measures the 3D hex channel slab
+    (vs the single-chip --channel3d number) instead of the cavity.
     """
     import jax
 
@@ -318,14 +320,33 @@ def bench_sharded(n_dev):
     import jax.numpy as jnp
 
     from pynama_tpu.cases.cavity import CavityProblem
+    from pynama_tpu.cases.uniform import UniformFlowProblem
     from pynama_tpu.parallel.sharded_problem import ShardedNSProblem
     from pynama_tpu.solvers.rk import make_attempt_host_stepper
 
     dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
-    cfg = cavity_config()
-    if os.environ.get("BENCH_NO_MG") == "1":
-        cfg["multigrid"] = False
-    p = CavityProblem(cfg, dtype=dtype).setup()
+    if os.environ.get("BENCH_CASE") == "channel3d":
+        nelem = [int(x) for x in
+                 os.environ.get("BENCH_NELEM3D", "32,32,80").split(",")]
+        cfg = {
+            "name": "channel3d-bench",
+            "material-properties": {"rho": 1.0, "mu": 0.01},
+            "domain": {"ngl": NGL,
+                       "box-mesh": {"nelem": nelem, "lower": [0, 0, 0],
+                                    "upper": [1, 1, 2.5]}},
+            "time-solver": {"start-time": 0.0, "end-time": 100.0,
+                            "max-steps": 10000},
+            "kle-rtol": KLE_RTOL,
+            "kle-maxiter": int(os.environ.get("BENCH_KLE_MAXITER", "4000")),
+        }
+        if os.environ.get("BENCH_NO_MG") == "1":
+            cfg["multigrid"] = False
+        p = UniformFlowProblem(cfg, dtype=dtype).setup()
+    else:
+        cfg = cavity_config()
+        if os.environ.get("BENCH_NO_MG") == "1":
+            cfg["multigrid"] = False
+        p = CavityProblem(cfg, dtype=dtype).setup()
     n_dofs = p.mesh.n_nodes * p.dim
     sp = ShardedNSProblem(p, n_dev)
     if sp._dmg is not None:
@@ -336,10 +357,15 @@ def bench_sharded(n_dev):
         f, vel = rhs_fn(w, aux, t)
         return f, vel
 
-    # one compiled SPMD dispatch per BS5 attempt (7 stages scan inside)
+    # the accept/reject dt controller runs INSIDE the SPMD program as a
+    # k-attempt lax.scan (BENCH_CHUNK, default 4): the host syncs once
+    # per k attempts instead of per attempt — the round-4 1.15x
+    # step-level overhead was exactly this per-attempt readback
+    chunk = int(os.environ.get("BENCH_CHUNK", "4"))
+    ws = os.environ.get("BENCH_WS", "1") == "1"
     attempt = sp.build_attempt(kle_rtol=KLE_RTOL, kle_maxiter=p.kle_maxiter,
-                               atol=1e12, rtol=1e12)
-    step = make_attempt_host_stepper(attempt)
+                               atol=1e12, rtol=1e12, chunk=chunk,
+                               ws_extrapolate=ws)
     w = sp.shard(np.zeros(p.mesh.n_nodes * p.dim_w), p.dim_w)
     vel = sp.shard(np.zeros(n_dofs), p.dim)
     t = jnp.asarray(0.0, dtype=dtype)
@@ -347,19 +373,35 @@ def bench_sharded(n_dev):
     t_end = jnp.asarray(1e9, dtype=dtype)
     f1, vel = rhs(t, w, vel)
     jax.block_until_ready((f1, vel))
+    if ws:
+        from pynama_tpu.solvers.rk import make_ws_state
 
-    res = step(w, t, dt, vel, f1, t_end)  # warmup/compile
-    jax.block_until_ready(res.y)
-    w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+        vel = make_ws_state(vel, t)
+
+    if chunk == 1:
+        step = make_attempt_host_stepper(attempt)
+
+        def do_chunk(w, t, dt, vel, f1):
+            res = step(w, t, dt, vel, f1, t_end)
+            return res.y, res.t, res.dt_next, res.aux, res.f_new, 1
+    else:
+        def do_chunk(w, t, dt, vel, f1):
+            w, t, dt, vel, f1, n_acc, _ = attempt(w, t, dt, vel, f1, t_end)
+            return w, t, dt, vel, f1, int(n_acc)
+
+    out = do_chunk(w, t, dt, vel, f1)  # warmup/compile
+    jax.block_until_ready(out[0])
+    w, t, dt, vel, f1 = out[:5]
+    n_steps = 0
     t0 = time.perf_counter()
-    for _ in range(STEPS):
-        res = step(w, t, dt, vel, f1, t_end)
-        w, t, vel, f1 = res.y, res.t, res.aux, res.f_new
+    while n_steps < STEPS * chunk:
+        w, t, dt, vel, f1, n_acc = do_chunk(w, t, dt, vel, f1)
+        n_steps += n_acc
     jax.block_until_ready(w)
-    ms = (time.perf_counter() - t0) / STEPS * 1e3
+    ms = (time.perf_counter() - t0) / n_steps * 1e3
     pc = "distributed MG" if sp._dmg is not None else "Jacobi-CG"
-    print(f"sharded[{n_dev} dev] {n_dofs} dofs: {ms:.1f} ms/step ({pc})",
-          file=sys.stderr)
+    print(f"sharded[{n_dev} dev] {n_dofs} dofs: {ms:.1f} ms/step "
+          f"({pc}, chunk={chunk}, ws={ws})", file=sys.stderr)
     return ms, n_dofs
 
 

@@ -134,6 +134,14 @@ class BaseProblem:
     # -- setup ----------------------------------------------------------
     def setup(self):
         """Parity: BaseProblem.setUp (base_problem.py:46-51)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        marks = []
+
+        def mark(name):
+            marks.append((name, _time.perf_counter()))
+
         if self.gmsh_file:
             d = self._gmsh_data
             if d.hexes is not None:
@@ -155,19 +163,30 @@ class BaseProblem:
                 nelem=self.nelem, lower=self.lower, upper=self.upper,
                 ngl=self.ngl,
             )
+        mark("mesh")
         self.elem = SpectralElement(self.ngl, self.dim)
         self.system = build_kle_system(self.mesh, self.elem, self.dtype)
         self.operators = build_operators(self.mesh, self.elem, self.dtype)
+        mark("system+ops")
         if self._refine:
             self.system32 = build_kle_system(self.mesh, self.elem,
                                              jnp.float32)
+            mark("system32")
         self.setup_bc()
         self._setup_blocked()
+        mark("bc+blocked")
         self.setup_preconditioner()
+        mark("preconditioner")
         self._setup_done = True
+        prev = t0
+        phases = []
+        for name, tm in marks:
+            phases.append(f"{name} {tm - prev:.1f}s")
+            prev = tm
         logger.info(
-            "%s: %dD ngl=%d, %d cells, %d nodes",
-            self.name, self.dim, self.ngl, self.mesh.n_cells, self.mesh.n_nodes,
+            "%s: %dD ngl=%d, %d cells, %d nodes (setup: %s)",
+            self.name, self.dim, self.ngl, self.mesh.n_cells,
+            self.mesh.n_nodes, ", ".join(phases),
         )
         return self
 
@@ -282,10 +301,35 @@ class BaseProblem:
         if not self.config.get("multigrid", True):
             return
         if not getattr(self.mesh, "uniform", False):
-            logger.warning(
-                "%s: multigrid unavailable on non-uniform meshes; "
-                "KLE solves fall back to Jacobi-CG", self.name,
-            )
+            # gather/scatter (Gmsh) meshes: element-block additive
+            # Schwarz (solvers/schwarz.py) instead of geometric MG;
+            # 'unstructured-pc: jacobi' restores the plain Jacobi-CG
+            if str(self.config.get("unstructured-pc", "schwarz")) \
+                    != "schwarz":
+                logger.info("%s: unstructured-pc=jacobi (plain Jacobi-CG)",
+                            self.name)
+                return
+            from pynama_tpu.solvers.schwarz import build_element_schwarz
+
+            K_el = np.asarray(self.system.K.A, dtype=np.float64)
+            pc_dtype = jnp.float32 if self._refine else self.dtype
+
+            def build_schwarz(name):
+                mval = getattr(self, name, None)
+                if mval is None:
+                    return None
+                return build_element_schwarz(
+                    self.mesh, K_el, np.asarray(mval).reshape(-1),
+                    pc_dtype)
+
+            self._minv = build_schwarz("free_mask")
+            self._minv_fs = build_schwarz("free_mask_fs")
+            if self._minv is not None:
+                logger.info(
+                    "%s: element-Schwarz preconditioner on unstructured "
+                    "mesh (%d blocks of %d dofs)", self.name,
+                    self.mesh.n_cells, self.elem.nnode * self.dim,
+                )
             return
         from pynama_tpu.solvers.multigrid import MGPreconditioner
 

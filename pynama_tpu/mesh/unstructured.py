@@ -194,6 +194,42 @@ class UnstructuredQuadMesh:
         """
         return self._line_nodes(self._boundary_pairs)
 
+    @cached_property
+    def corner_interp(self):
+        """(cols, wts): per-GLL-node corner interpolation, <=4 entries.
+
+        The bilinear corner->node geometry map (same weights as coords)
+        as an explicit table — the Q1 coarse space for the two-level
+        Schwarz preconditioner (solvers/schwarz.py). Unused slots carry
+        weight 0 on corner 0.
+        """
+        N = self.ngl
+        ni = N - 2
+        gll, _ = lobatto_points(N)
+        t = (gll[1:-1] + 1.0) / 2.0
+        nv = len(self._corner_coords)
+        ne = len(self._edge_pairs)
+        cols = np.zeros((self.n_nodes, 4), dtype=np.int64)
+        wts = np.zeros((self.n_nodes, 4))
+        cols[:nv, 0] = np.arange(nv)
+        wts[:nv, 0] = 1.0
+        if ni and ne:
+            rows = nv + np.arange(ne * ni).reshape(ne, ni)
+            cols[rows, 0] = self._edge_pairs[:, :1]
+            cols[rows, 1] = self._edge_pairs[:, 1:]
+            wts[rows, 0] = 1.0 - t
+            wts[rows, 1] = t
+        if ni:
+            i0 = nv + ne * ni
+            tx, ty = np.meshgrid(t, t, indexing="xy")  # x fastest
+            tx, ty = tx.reshape(-1), ty.reshape(-1)
+            w = np.stack([(1 - tx) * (1 - ty), tx * (1 - ty),
+                          (1 - tx) * ty, tx * ty], axis=1)  # lex corners
+            rows = i0 + np.arange(self.n_cells * ni * ni)
+            cols[rows] = np.repeat(self._corners_lex, ni * ni, axis=0)
+            wts[rows] = np.tile(w, (self.n_cells, 1))
+        return cols, wts
+
     def nodes_over_line(self, axis: str, value: float):
         """Node ids (and transverse coordinate) on the line axis=value.
 
@@ -318,6 +354,55 @@ class UnstructuredHexMesh:
             i0 = nv + ne * ni + nf * ni * ni
             out[i0:] = interior.reshape(-1, 3)
         return out
+
+    @cached_property
+    def corner_interp(self):
+        """(cols, wts): per-GLL-node corner interpolation, <=8 entries.
+
+        Trilinear analogue of UnstructuredQuadMesh.corner_interp (same
+        weight structure as coords: linear edges, bilinear faces,
+        trilinear interiors) — the coarse space for two-level Schwarz.
+        """
+        N = self.ngl
+        ni = N - 2
+        gll, _ = lobatto_points(N)
+        t = (gll[1:-1] + 1.0) / 2.0
+        nv = len(self._corner_coords)
+        ne = len(self._edge_pairs)
+        nf = len(self._face_quads)
+        cols = np.zeros((self.n_nodes, 8), dtype=np.int64)
+        wts = np.zeros((self.n_nodes, 8))
+        cols[:nv, 0] = np.arange(nv)
+        wts[:nv, 0] = 1.0
+        if ni and ne:
+            rows = nv + np.arange(ne * ni).reshape(ne, ni)
+            cols[rows, 0] = self._edge_pairs[:, :1]
+            cols[rows, 1] = self._edge_pairs[:, 1:]
+            wts[rows, 0] = 1.0 - t
+            wts[rows, 1] = t
+        if ni and nf:
+            ti, tj = np.meshgrid(t, t, indexing="xy")  # u (i) fastest
+            s, r = ti.reshape(-1), tj.reshape(-1)
+            w = np.stack([(1 - s) * (1 - r), s * (1 - r),
+                          (1 - s) * r, s * r], axis=1)
+            f0 = nv + ne * ni
+            rows = f0 + np.arange(nf * ni * ni)
+            cols[rows, :4] = np.repeat(self._face_quads, ni * ni, axis=0)
+            wts[rows, :4] = np.tile(w, (nf, 1))
+        if ni:
+            tx = np.tile(t, ni * ni)
+            ty = np.tile(np.repeat(t, ni), ni)
+            tz = np.repeat(t, ni * ni)
+            w = np.empty((ni**3, 8))
+            for k in range(8):
+                bx, by, bz = k & 1, (k >> 1) & 1, (k >> 2) & 1
+                w[:, k] = ((tx if bx else 1 - tx) * (ty if by else 1 - ty)
+                           * (tz if bz else 1 - tz))
+            i0 = nv + ne * ni + nf * ni * ni
+            rows = i0 + np.arange(self.n_cells * ni**3)
+            cols[rows] = np.repeat(self._corners_lex, ni**3, axis=0)
+            wts[rows] = np.tile(w, (self.n_cells, 1))
+        return cols, wts
 
     @cached_property
     def cell_corners(self):

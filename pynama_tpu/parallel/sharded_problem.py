@@ -470,15 +470,23 @@ class ShardedNSProblem:
         return rhs
 
     def build_attempt(self, kle_rtol=None, kle_maxiter=None, atol=None,
-                      rtol=None):
-        """ONE BS5(4) attempt as a single SPMD dispatch (lax.scan stages).
+                      rtol=None, chunk=1, max_dt=None, ws_extrapolate=False):
+        """BS5(4) attempts as a single SPMD dispatch (lax.scan stages).
 
-        (w, t, dt, vel_aux, f1) -> (y5, f_new, wlte, aux). The compiled
-        program is the size of ONE distributed RHS program (the 7 stages
-        scan over a single rhs body), and the host dt controller costs
-        one dispatch per attempt — this removes the round-3 step-level
-        gap (8 dispatches x sharded-argument processing per step,
-        run-artifacts/bench-sharded-1dev.json).
+        chunk=1: (w, t, dt, vel_aux, f1) -> (y5, f_new, wlte, aux) — ONE
+        attempt; the host dt controller costs one dispatch per attempt,
+        which removed the round-3 step-level gap (8 dispatches x
+        sharded-argument processing per step).
+
+        chunk=k>1: (w, t, dt, vel_aux, f1, t_end) ->
+        (y, t, dt, aux, f1, n_acc, wlte) — the accept/reject + dt
+        controller itself runs as a lax.scan of k attempts INSIDE the
+        SPMD program (solvers/rk.py make_chunk_controller), so the host
+        syncs once per k attempts instead of per attempt (ROUND4 backlog
+        #4: the per-attempt readback was the residual 1.15x overhead).
+
+        ws_extrapolate: per-stage-slot warm-start extrapolation — the
+        aux is then the make_ws_state history pytree (sharded leaves).
         """
         p = self.p
         kle_rtol = kle_rtol if kle_rtol is not None else p.kle_rtol
@@ -490,7 +498,8 @@ class ShardedNSProblem:
 
         from jax import shard_map
 
-        from pynama_tpu.solvers.rk import make_bs5_scan_attempt
+        from pynama_tpu.solvers.rk import (make_bs5_scan_attempt,
+                                           make_chunk_controller)
 
         names = self.axis_names
         spec_d = P(*names)
@@ -502,7 +511,7 @@ class ShardedNSProblem:
         mg_meta, mg_st, mg_rp = self._dmg if self._dmg else (None, (), ())
 
         def body(diag, mask, maskfs, wc, ws, wv, ubc, coords, bcw,
-                 own_v, own_w, mg_stacked, w, t, dt, vel, f1):
+                 own_v, own_w, mg_stacked, w, t, dt, vel, f1, t_end):
             loc = (sq(diag), sq(mask), sq(maskfs) if has_fs else None,
                    sq(wc), sq(ws), sq(wv),
                    sq(ubc) if has_ubc else None, sq(coords),
@@ -536,9 +545,35 @@ class ShardedNSProblem:
                 return jnp.sqrt(s / n_glob_w)
 
             attempt = make_bs5_scan_attempt(rhs, atol=atol, rtol=rtol,
-                                            wlte_norm=wlte_norm)
-            y5, f_new, wlte, aux_n = attempt(sq(w), t, dt, sq(vel), sq(f1))
-            return ex(y5), ex(f_new), wlte, ex(aux_n)
+                                            wlte_norm=wlte_norm,
+                                            ws_extrapolate=ws_extrapolate)
+            if ws_extrapolate:
+                # ws history leaves carry a leading STAGE-SLOT axis; the
+                # device axes sit one position right of the state's
+                naxes = self.naxes
+
+                def sq_aux(a):
+                    H1, H2, tp, tpp = a
+                    sl = (slice(None),) + (0,) * naxes
+                    f = lambda h: jax.tree.map(lambda x: x[sl], h)
+                    return (f(H1), f(H2), tp, tpp)
+
+                def ex_aux(a):
+                    H1, H2, tp, tpp = a
+                    axes = tuple(range(1, naxes + 1))
+                    f = lambda h: jax.tree.map(
+                        lambda x: jnp.expand_dims(x, axes), h)
+                    return (f(H1), f(H2), tp, tpp)
+            else:
+                sq_aux, ex_aux = sq, ex
+            if chunk == 1:
+                y5, f_new, wlte, aux_n = attempt(sq(w), t, dt, sq_aux(vel),
+                                                 sq(f1))
+                return ex(y5), ex(f_new), wlte, ex_aux(aux_n)
+            ctrl = make_chunk_controller(attempt, chunk, max_dt=max_dt)
+            y, t2, dt2, aux, f1o, n_acc, wlte = ctrl(
+                sq(w), t, dt, sq_aux(vel), sq(f1), t_end)
+            return ex(y), t2, dt2, ex_aux(aux), ex(f1o), n_acc, wlte
 
         statics = (self.diag_K, self.mask,
                    self.mask_fs if has_fs else self.mask,
@@ -546,18 +581,35 @@ class ShardedNSProblem:
                    self.u_bc if has_ubc else self.diag_K, self.coords,
                    self.bc_vort_mask if has_bcw else self.w_curl)
         mg_st_specs = jax.tree.map(lambda _: spec_d, mg_st)
+        # ws history aux = (H1, H2, t_prev, t_pp): slot stacks sharded on
+        # the axis AFTER the leading slot axis, replicated time scalars
+        # (specs are pytree prefixes)
+        h_spec = P(*((None,) + names))
+        aux_spec = ((h_spec, h_spec, spec_r, spec_r) if ws_extrapolate
+                    else spec_d)
         in_specs = tuple([spec_d] * 11 + [mg_st_specs] + [
-            spec_d, spec_r, spec_r, spec_d, spec_d])
-        out_specs = (spec_d, spec_d, spec_r, spec_d)
+            spec_d, spec_r, spec_r, aux_spec, spec_d, spec_r])
+        if chunk == 1:
+            out_specs = (spec_d, spec_d, spec_r, aux_spec)
+        else:
+            out_specs = (spec_d, spec_r, spec_r, aux_spec, spec_d,
+                         spec_r, spec_r)
         fn = shard_map(
             body, mesh=self.mesh_dev, in_specs=in_specs,
             out_specs=out_specs, check_vma=False,
         )
 
-        @jax.jit
-        def attempt_fn(w, t, dt, vel, f1):
-            return fn(*statics, self.own_v, self.own_w, mg_st, w, t, dt,
-                      vel, f1)
+        if chunk == 1:
+            @jax.jit
+            def attempt_fn(w, t, dt, vel, f1, t_end=None):
+                te = jnp.asarray(0.0, w.dtype) if t_end is None else t_end
+                return fn(*statics, self.own_v, self.own_w, mg_st, w, t,
+                          dt, vel, f1, te)
+        else:
+            @jax.jit
+            def attempt_fn(w, t, dt, vel, f1, t_end):
+                return fn(*statics, self.own_v, self.own_w, mg_st, w, t,
+                          dt, vel, f1, t_end)
 
         return attempt_fn
 
@@ -577,7 +629,8 @@ class ShardedNSProblem:
         the 7 stages lax.scan over a single RHS body, so the program
         stays the size of one RHS program). Returns (w_stacked, t, n).
         """
-        from pynama_tpu.solvers.rk import make_attempt_host_stepper
+        from pynama_tpu.solvers.rk import (make_attempt_host_stepper,
+                                           make_ws_state, ws_aux_vel)
 
         p = self.p
         rhs_fn = self.build_rhs(kle_rtol, kle_maxiter)
@@ -585,23 +638,41 @@ class ShardedNSProblem:
         def rhs(t, w, aux):
             return rhs_fn(w, aux, t)
 
-        attempt = self.build_attempt(kle_rtol, kle_maxiter)
-        step = make_attempt_host_stepper(attempt, max_dt=p.ts_max_dt)
+        chunk = int(p.config.get("ts-chunk", 1))
+        ws = bool(getattr(p, "kle_ws_extrapolate", False))
+        attempt = self.build_attempt(kle_rtol, kle_maxiter, chunk=chunk,
+                                     max_dt=p.ts_max_dt, ws_extrapolate=ws)
+        if chunk == 1:
+            step = make_attempt_host_stepper(attempt, max_dt=p.ts_max_dt)
         w = self.shard(np.asarray(p.initial_vorticity()).reshape(-1), p.dim_w)
         vel = self.shard(np.zeros(p.mesh.n_nodes * p.dim), p.dim)
         t = jnp.asarray(p.t_start, dtype=p.dtype)
         dt = jnp.asarray(p.dt0, dtype=p.dtype)
         t_end = jnp.asarray(p.t_end, dtype=p.dtype)
         f1, vel = rhs(t, w, vel)
+        if ws:
+            vel = make_ws_state(vel, t)
 
         n = 0
         steps = max_steps if max_steps is not None else p.max_steps
+        stall = 0
         while float(t) < float(t_end) - 1e-14 and n < steps:
-            res = step(w, t, dt, vel, f1, t_end)
-            w, t, dt, vel, f1 = res.y, res.t, res.dt_next, res.aux, res.f_new
-            n += 1
+            if chunk == 1:
+                res = step(w, t, dt, vel, f1, t_end)
+                w, t, dt, vel, f1 = (res.y, res.t, res.dt_next, res.aux,
+                                     res.f_new)
+                n += 1
+            else:
+                w, t, dt, vel, f1, n_acc, _ = attempt(w, t, dt, vel, f1,
+                                                      t_end)
+                n += int(n_acc)
+                stall = stall + 1 if int(n_acc) == 0 else 0
+                if stall >= 12:
+                    raise RuntimeError(
+                        "BS5 chunk made no progress 12 chunks in a row")
             if callback is not None:
-                callback(n, float(t), float(dt), w, vel)
+                callback(n, float(t), float(dt), w,
+                         ws_aux_vel(vel) if ws else vel)
         return w, float(t), n
 
     def run(self, max_steps=None, callback=None):

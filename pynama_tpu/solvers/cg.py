@@ -50,9 +50,11 @@ def cg_solve(
     tol2 = tol * tol
 
     r0 = b - apply_A(x0)
-    z0 = apply_M(r0)
-    rz0 = dot(r0, z0)
     rr0 = dot(r0, r0)
+    # warm starts frequently satisfy the tolerance outright; don't pay
+    # the preconditioner apply (a full V-cycle) for a 0-iteration solve
+    z0 = jax.lax.cond(rr0 > tol2, apply_M, jnp.zeros_like, r0)
+    rz0 = dot(r0, z0)
 
     def cond(state):
         _, _, _, _, rr, _, k = state

@@ -295,6 +295,61 @@ def make_bs5_scan_attempt(
     return attempt
 
 
+def make_chunk_controller(
+    attempt_fn: Callable,
+    k: int,
+    safety: float = 0.9,
+    min_factor: float = 0.1,
+    max_factor: float = 10.0,
+    max_dt: Optional[float] = None,
+):
+    """k adaptive BS5 attempts (accept/reject + dt update) in ONE program.
+
+    ``chunk(y, t, dt, aux, f1, t_end) -> (y, t, dt, aux, f1, n_acc,
+    wlte_last)``: the same controller logic as make_attempt_host_stepper,
+    but the attempt loop is a lax.scan inside the traced program, so a
+    host round-trip costs k attempts instead of one. This is the fix for
+    the distributed path's remaining step-level gap — per-attempt sharded
+    argument processing + the wlte readback sync (ROUND4 backlog #4).
+    Attempts past t_end are no-ops (dt clamps to 0, nothing is counted),
+    so the tail chunk of a run wastes at most k-1 attempt programs.
+    """
+    def chunk(y, t, dt, aux, f1, t_end):
+        def body(carry, _):
+            y, t, dt, aux, f1, n_acc = carry
+            live = t < t_end
+            dt_att = jnp.minimum(dt, t_end - t)
+            if max_dt is not None:
+                dt_att = jnp.minimum(dt_att, max_dt)
+            dt_att = jnp.maximum(dt_att, 0.0)
+            y5, f_new, wlte, aux_n = attempt_fn(y, t, dt_att, aux, f1)
+            accepted = (wlte <= 1.0) & live
+            factor = jnp.clip(
+                safety * jnp.power(jnp.maximum(wlte, 1e-30),
+                                   -1.0 / BS5_ORDER),
+                min_factor, max_factor)
+            dt_next = jnp.where(
+                live,
+                dt_att * jnp.where(accepted, factor,
+                                   jnp.minimum(factor, 1.0)),
+                dt)
+            pick = lambda a, b: jax.tree.map(
+                lambda u, v: jnp.where(accepted, u, v), a, b)
+            y = jnp.where(accepted, y5, y)
+            t = jnp.where(accepted, t + dt_att, t)
+            f1 = pick(f_new, f1)
+            aux = pick(aux_n, aux)
+            n_acc = n_acc + accepted.astype(jnp.int32)
+            return (y, t, dt_next, aux, f1, n_acc), wlte
+
+        init = (y, t, dt, aux, f1, jnp.asarray(0, jnp.int32))
+        (y, t, dt, aux, f1, n_acc), wltes = jax.lax.scan(
+            body, init, None, length=k)
+        return y, t, dt, aux, f1, n_acc, wltes[-1]
+
+    return chunk
+
+
 def make_attempt_host_stepper(
     attempt_fn: Callable,
     safety: float = 0.9,

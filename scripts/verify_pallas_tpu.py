@@ -100,8 +100,13 @@ def main():
                 if not pallas_ok(xs, jnp.float32, ws):
                     row[f"{variant}_{precision}"] = {"engaged": False}
                     continue
-                y_p = np.asarray(jax.jit(
-                    lambda xb, W: conv_blocked_pallas(xb, W))(xb, W))
+                try:
+                    y_p = np.asarray(jax.jit(
+                        lambda xb, W: conv_blocked_pallas(xb, W))(xb, W))
+                except NotImplementedError as e:
+                    row[f"{variant}_{precision}"] = {"engaged": False,
+                                                     "error": str(e)}
+                    continue
                 err = float(np.abs(y_p - y_r).max() / np.abs(y_r).max())
                 row[f"{variant}_{precision}"] = {
                     "engaged": True, "rel_err": err,
@@ -133,7 +138,10 @@ def main():
                         return jax.lax.fori_loop(0, 32, body, xb)
 
                     f = jax.jit(loop)
-                    jax.block_until_ready(f(xb))
+                    try:
+                        jax.block_until_ready(f(xb))
+                    except NotImplementedError:
+                        continue
                     t0 = time.perf_counter()
                     jax.block_until_ready(f(xb))
                     per = (time.perf_counter() - t0) / 32 * 1e3

@@ -401,3 +401,31 @@ def test_owner_field_partition():
     assert fo[0, 0] == 0 and fo[-1, -1] == 3
     assert fo[-1, 0] == 2 and fo[0, -1] == 1
     assert set(np.unique(fo)) == {0.0, 1.0, 2.0, 3.0}
+
+
+@pytest.mark.parametrize("ws", [False, True])
+def test_run_staged_chunked_matches_per_attempt(ws):
+    """ts-chunk=k fuses the accept/reject dt controller into the SPMD
+    program (host syncs every k attempts). Same controller arithmetic ->
+    identical trajectory, step count and final time as the per-attempt
+    path; ws additionally exercises the sharded per-slot warm-start
+    history (replicated time scalars + sharded slot stacks)."""
+    cfg = make_config((4, 8), 3, rho=0.5, mu=0.01, end=0.02, max_steps=8)
+    cfg["multigrid"] = False
+    if ws:
+        cfg["kle-ws-extrapolate"] = True
+    p1 = CustomFuncProblem(cfg, case="taylor-green").setup()
+    sp1 = ShardedNSProblem(p1, 4)
+    w1, t1, n1 = sp1.run_staged(max_steps=8)
+
+    p2 = CustomFuncProblem({**cfg, "ts-chunk": 3},
+                           case="taylor-green").setup()
+    sp2 = ShardedNSProblem(p2, 4)
+    w2, t2, n2 = sp2.run_staged(max_steps=8)
+
+    assert n2 == n1
+    assert abs(t2 - t1) < 1e-12
+    a = sp1.unshard(w1, p1.dim_w)
+    b = sp2.unshard(w2, p2.dim_w)
+    err = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-30)
+    assert err < 1e-10, err

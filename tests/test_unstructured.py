@@ -443,3 +443,57 @@ def test_cavity_on_gmsh_box_mesh(tmp_path):
     assert n >= 1 and np.isfinite(np.asarray(p.vel)).all()
     # the lid drags fluid: nonzero interior velocity
     assert float(np.abs(np.asarray(p.vel)).max()) > 1e-3
+
+
+def test_schwarz_preconditioner_unstructured():
+    """Two-level vertex-star Schwarz on gather/scatter meshes.
+
+    The reference's LU solves any mesh equally (ksp_solver.py:12-19);
+    parity means not degrading on gmsh input. Gates: >=3x fewer CG
+    iterations than Jacobi at both sizes, and slower iteration growth
+    under mesh refinement. Records the measurement in
+    run-artifacts/unstructured_pc.json (VERDICT r4 item 7).
+    """
+    import json
+    import time
+
+    from tests.test_kle_solve import taylor_green_2d
+    from pynama_tpu.solvers.schwarz import build_element_schwarz
+
+    record = {}
+    iters = {}
+    for n in (16, 32):
+        pts, quads = box_corner_mesh(n, n, distort=0.15 / n, seed=1)
+        m = UnstructuredQuadMesh(pts, quads, ngl=3)
+        sys_ = build_kle_system(m, SpectralElement(3, 2))
+        mask = np.ones(m.n_nodes * 2)
+        mask[m.node_dofs(m.boundary_nodes, 2)] = 0.0
+        vel_e, vort_e = taylor_green_2d(m.coords, nu=0.02, t=0.0)
+        t0 = time.perf_counter()
+        minv = build_element_schwarz(m, sys_.K.A, mask)
+        setup_s = time.perf_counter() - t0
+        for tag, pc in (("jacobi", None), ("schwarz", minv)):
+            res = sys_.solve(
+                jnp.asarray(vort_e), jnp.asarray(vel_e.reshape(-1)),
+                jnp.asarray(mask), rtol=1e-10, maxiter=20000,
+                m_inv=pc, restarts=1)
+            err = float(np.linalg.norm(np.asarray(res.x)
+                                       - vel_e.reshape(-1)))
+            iters[(tag, n)] = int(res.iters)
+            record[f"{tag}_n{n}"] = {"iters": int(res.iters), "err": err}
+        record[f"schwarz_n{n}"]["setup_s"] = round(setup_s, 2)
+        # same solution quality
+        assert abs(record[f"jacobi_n{n}"]["err"]
+                   - record[f"schwarz_n{n}"]["err"]) < 1e-6
+    for n in (16, 32):
+        assert iters[("schwarz", n)] * 3 <= iters[("jacobi", n)], iters
+    growth_j = iters[("jacobi", 32)] / iters[("jacobi", 16)]
+    growth_s = iters[("schwarz", 32)] / iters[("schwarz", 16)]
+    assert growth_s < growth_j, (growth_s, growth_j)
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "run-artifacts", "unstructured_pc.json")
+    data = {}
+    if os.path.exists(path):
+        data = json.load(open(path))
+    data["taylor_green_ngl3_rtol1e-10"] = record
+    json.dump(data, open(path, "w"), indent=1, sort_keys=True)

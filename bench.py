@@ -190,11 +190,17 @@ def profile():
     print(device_report(p), file=sys.stderr)
 
 
-def bench_ours(refine=False):
+def bench_ours(refine=False, donor=None):
     """Per-step time; refine=True runs the PARITY configuration (f64
     state + mixed-precision iterative refinement, TRUE 1e-8 residuals —
     kle.py solve_ir) and appends an f64 residual self-check so the
     recorded artifact carries its own verification.
+
+    donor: the f32 leg's problem object — the parity leg's f32 inner
+    machinery (system32, MG preconditioners) is IDENTICAL to the f32
+    leg's (same mesh/masks/dtype), so reusing it cuts the parity setup
+    to the f64 system build alone (round-4's 122.9 s parity setup inside
+    a fixed driver budget was the BENCH_r04 rc=124 failure mode).
     """
     import jax
 
@@ -217,7 +223,25 @@ def bench_ours(refine=False):
     if os.environ.get("BENCH_NO_MG") == "1":  # Jacobi-CG, comparable to
         cfg["multigrid"] = False              # the sharded path's solver
     t_setup0 = time.perf_counter()
-    p = CavityProblem(cfg, dtype=dtype).setup()
+    if (refine and donor is not None and dtype == jnp.float64
+            and donor.dtype == jnp.float32):
+        p = CavityProblem(cfg, dtype=dtype)
+        p.mesh, p.elem = donor.mesh, donor.elem
+        from pynama_tpu.kle import build_kle_system, build_operators
+
+        p.system = build_kle_system(p.mesh, p.elem, dtype)
+        p.operators = build_operators(p.mesh, p.elem, dtype)
+        p.system32 = donor.system
+        p.setup_bc()
+        p._setup_blocked()
+        # f32 V-cycles on the same masks: donated as-is (the parity
+        # problem's masks only differ in dtype, and MG runs f32 anyway)
+        p._minv = getattr(donor, "_minv", None)
+        p._minv_fs = getattr(donor, "_minv_fs", None)
+        p.mg = getattr(donor, "mg", None)
+        p._setup_done = True
+    else:
+        p = CavityProblem(cfg, dtype=dtype).setup()
     setup_s = time.perf_counter() - t_setup0
     n_dofs = p.mesh.n_nodes * p.dim
     print(f"setup ({'parity' if refine else DTYPE}): {setup_s:.1f} s "
@@ -298,7 +322,7 @@ def bench_ours(refine=False):
         print(f"parity check: f64 true relative residual {true_res:.3e} "
               f"(gate 1e-8, {int(res.iters)} inner iters)", file=sys.stderr)
     return (elapsed / STEPS * 1e3, n_dofs, jax.devices()[0].platform,
-            true_res, setup_s)
+            true_res, setup_s, p)
 
 
 def bench_sharded(n_dev):
@@ -643,12 +667,12 @@ def main():
     # the axon TPU worker occasionally needs a restart after a prior
     # kernel fault; one retry covers the flake
     try:
-        ours_ms, n_dofs, platform, _, setup_s = bench_ours()
+        ours_ms, n_dofs, platform, _, setup_s, p32 = bench_ours()
     except Exception as e:  # pragma: no cover
         print(f"bench attempt 1 failed ({type(e).__name__}); retrying",
               file=sys.stderr)
         time.sleep(30)
-        ours_ms, n_dofs, platform, _, setup_s = bench_ours()
+        ours_ms, n_dofs, platform, _, setup_s, p32 = bench_ours()
 
     ladder = {"rtol1e-5_f32": {"ms": round(ours_ms, 3),
                                "vs_baseline": vs(ours_ms)}}
@@ -677,7 +701,8 @@ def main():
     # BENCH_PARITY=0 skips it (e.g. quick f32-only runs).
     if os.environ.get("BENCH_PARITY", "1") == "1":
         try:
-            parity_ms, _, _, parity_res, parity_setup = bench_ours(refine=True)
+            parity_ms, _, _, parity_res, parity_setup, _ = bench_ours(
+                refine=True, donor=p32 if DTYPE == "float32" else None)
         except Exception as e:  # pragma: no cover
             print(f"parity bench failed ({type(e).__name__}: {e})",
                   file=sys.stderr)

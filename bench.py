@@ -101,17 +101,52 @@ def profile():
     print(f"profile: {n_dofs} dofs, platform {jax.devices()[0].platform}, "
           f"{DTYPE}", file=sys.stderr)
 
-    def timed_loop(name, fn, x, n=32, flops=None, bytes_=None):
-        @jax.jit
-        def loop(x):
-            def body(i, v):
-                return fn(v) * jnp.asarray(1.0, v.dtype)
-            return jax.lax.fori_loop(0, n, body, x)
+    # per-dispatch overhead (axon tunnel arg processing + launch): timed
+    # once and subtracted from the SINGLE-dispatch numbers below (KLE
+    # solve / RHS eval) — round 4's profile divided ONE dispatch by n=32,
+    # which inflated sub-ms ops by dispatch/32 (the "9 GB/s K apply" was
+    # mostly this artifact; the isolated kernel measures ~45 GB/s,
+    # scripts/stencil_breakdown_tpu.py). The looped per-op timings use a
+    # two-length difference instead, which cancels dispatch exactly.
+    @jax.jit
+    def _noop(x):
+        return x * jnp.asarray(1.0, x.dtype)
 
-        jax.block_until_ready(loop(x))  # compile + warm
-        t0 = time.perf_counter()
-        jax.block_until_ready(loop(x))
-        per = (time.perf_counter() - t0) / n * 1e3
+    probe = jnp.zeros((8, 128), jnp.float32)
+    jax.block_until_ready(_noop(probe))
+    t0 = time.perf_counter()
+    for _ in range(8):
+        jax.block_until_ready(_noop(probe))
+    dispatch_ms = (time.perf_counter() - t0) / 8 * 1e3
+    print(f"  dispatch overhead: {dispatch_ms:.2f} ms "
+          f"(subtracted from single-dispatch timings)", file=sys.stderr)
+
+    def timed_loop(name, fn, x, n=64, flops=None, bytes_=None):
+        # two-length difference: per-op = (t(3n) - t(n)) / 2n. The
+        # per-dispatch overhead (and any fixed in/out transfer) cancels
+        # EXACTLY instead of being subtracted from a separately-measured
+        # estimate, which went negative for sub-ms ops (the round-5
+        # "0.000 ms K apply" artifact).
+        def make_loop(m):
+            @jax.jit
+            def loop(x):
+                def body(i, v):
+                    return fn(v) * jnp.asarray(1.0, v.dtype)
+                return jax.lax.fori_loop(0, m, body, x)
+            return loop
+
+        loop1, loop3 = make_loop(n), make_loop(3 * n)
+
+        def best_ms(loop):
+            jax.block_until_ready(loop(x))  # compile + warm
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(loop(x))
+                best = min(best, time.perf_counter() - t0)
+            return best * 1e3
+
+        per = max((best_ms(loop3) - best_ms(loop1)) / (2 * n), 1e-6)
         extra = ""
         if bytes_:
             extra = f"  ({bytes_ / per * 1e3 / 1e9:.0f} GB/s effective)"
@@ -154,7 +189,7 @@ def profile():
         t0 = time.perf_counter()
         res = jsolve(w0, x0, which)
         jax.block_until_ready(res.x)
-        ms = (time.perf_counter() - t0) * 1e3
+        ms = (time.perf_counter() - t0) * 1e3 - dispatch_ms
         print(f"  KLE solve [{tag}]: {int(res.iters)} iters, {ms:.1f} ms "
               f"({ms / max(int(res.iters), 1):.2f} ms/iter), "
               f"resnorm {float(res.resnorm):.2e}", file=sys.stderr)
@@ -181,7 +216,8 @@ def profile():
     t0 = time.perf_counter()
     f1, vel = rhs(jnp.asarray(0.0, dtype), w0, vel)
     jax.block_until_ready((f1, vel))
-    print(f"  RHS eval (warm):             {(time.perf_counter()-t0)*1e3:8.1f} ms"
+    rhs_ms = (time.perf_counter() - t0) * 1e3 - dispatch_ms
+    print(f"  RHS eval (warm):             {rhs_ms:8.1f} ms"
           f"  (x7 per BS5 step)", file=sys.stderr)
 
     # allocation report (printMatsInfo analogue, mat_generator.py:120-130)

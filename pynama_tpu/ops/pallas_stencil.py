@@ -36,16 +36,16 @@ import numpy as np
 
 _TR = 16  # stripe rows (leading block axis) per grid step
 
-# In-kernel dot precision (f32 operands): HIGHEST = true f32 via 6 bf16
-# MXU passes, HIGH = bf16x3 (~half the MXU work, ~2 bits worse tails).
-# The f32 stencil applies feed (a) recurrence-tolerance CG at rtol>=1e-5
-# and (b) solve_ir inner corrections whose TRUE residual is re-measured
-# in f64 each round, so bf16x3 noise never reaches correctness — the
-# default is set from the on-chip accuracy/speed measurement recorded in
-# run-artifacts/pallas_verify.json (scripts/verify_pallas_tpu.py).
+# In-kernel dot precision (f32 operands). Measured on-chip
+# (scripts/stencil_breakdown_tpu.py, cavity K shape): HIGHEST 0.239 ms,
+# DEFAULT (single-pass bf16, too lossy for the operator) 0.160 ms — the
+# kernel is fill/copy-bound, not MXU-bound, so cheaper dot passes buy
+# <1.5x and HIGHEST stays the default. Mosaic's dot lowering rejects
+# Precision.HIGH (bf16x3), so "high" maps to HIGHEST here (the XLA
+# fallback path still honors true HIGH).
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
-    "high": jax.lax.Precision.HIGH,
+    "high": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }
 

@@ -57,6 +57,9 @@ def cavity_config():
     if os.environ.get("BENCH_KLE_INNER_RTOL"):
         cfg_extra["kle-inner-rtol"] = float(
             os.environ["BENCH_KLE_INNER_RTOL"])
+    if os.environ.get("BENCH_ADAPTIVE_INNER"):
+        cfg_extra["kle-adaptive-inner"] = (
+            os.environ["BENCH_ADAPTIVE_INNER"] == "1")
     return {
         "multigrid": mg,
         **cfg_extra,

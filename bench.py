@@ -256,6 +256,16 @@ def bench_ours(refine=False, donor=None):
     if refine:
         dtype = jnp.float64
         cfg = {**cavity_config(), "kle-refine": True, "kle-rtol": 1e-8}
+        # Parity leg runs the round-3 solver settings: with ws
+        # extrapolation + adaptive inner BOTH on, the on-chip parity
+        # step regressed 1649 -> 3281 ms (run-artifacts/
+        # bench-r5-onchip-tail.txt) — the extrapolated warm start lands
+        # in the band where the adaptive inner solve under-delivers
+        # near the f32 floor and solve_ir burns extra f64 defect
+        # rounds (ADVICE r4 #1 predicted this interaction). The f32
+        # leg keeps both (327 -> 185 ms there). Overridable via env.
+        cfg.setdefault("kle-adaptive-inner",
+                       os.environ.get("BENCH_ADAPTIVE_INNER") == "1")
     else:
         dtype = jnp.float64 if DTYPE == "float64" else jnp.float32
         cfg = cavity_config()
@@ -293,9 +303,10 @@ def bench_ours(refine=False, donor=None):
     # stages lax.scan inside — the fully-inlined adaptive program OOMs
     # the compiler at this size); huge tolerances -> every attempt
     # accepted -> fixed-dt stepping, so the measured work per step is
-    # exactly 7 RHS evals. BENCH_WS=1 (default) adds the cross-step
-    # per-stage-slot warm-start extrapolation (solvers/rk.py).
-    ws = os.environ.get("BENCH_WS", "1") == "1"
+    # exactly 7 RHS evals. BENCH_WS=1 (default on the f32 leg) adds the
+    # cross-step per-stage-slot warm-start extrapolation (solvers/rk.py);
+    # the parity leg defaults it OFF (see the refine cfg note above).
+    ws = os.environ.get("BENCH_WS", "0" if refine else "1") == "1"
     attempt = jax.jit(make_bs5_scan_attempt(rhs, atol=1e12, rtol=1e12,
                                             ws_extrapolate=ws))
     step = make_attempt_host_stepper(attempt)

@@ -95,6 +95,12 @@ def main():
 
     path = os.path.join(os.path.dirname(__file__), "..",
                         "run-artifacts", "unstructured_perf.json")
+    if os.path.exists(path):  # merge: keep sizes from earlier invocations
+        with open(path) as f:
+            prev = json.load(f)
+        if all(prev.get(k) == record[k]
+               for k in ("platform", "dtype", "ngl", "rtol")):
+            record["results"] = {**prev["results"], **record["results"]}
     with open(path, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))

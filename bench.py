@@ -736,19 +736,13 @@ def main():
     }
     print(json.dumps(out), flush=True)
 
-    # phase breakdown (stderr): per-op times + CG iteration counts +
-    # device-allocation report; diagnostics only, after the first headline
-    if os.environ.get("BENCH_NO_PROFILE") != "1":
-        try:
-            profile()
-        except Exception as e:  # pragma: no cover - keep the metric alive
-            print(f"profile phase skipped ({type(e).__name__}: {e})",
-                  file=sys.stderr)
-
     # PARITY row: f64 state + mixed-precision refinement, TRUE 1e-8
     # residuals (the metric BASELINE.md defines the 10x target against —
     # the reference's LU backsolves give f64 machine-precision residuals).
-    # BENCH_PARITY=0 skips it (e.g. quick f32-only runs).
+    # BENCH_PARITY=0 skips it (e.g. quick f32-only runs). Runs BEFORE the
+    # diagnostic profile: profile() rebuilds its own problem (~2.5 min of
+    # host setup that upgrades no headline), so under a tight driver
+    # budget the full ladder must be emitted first.
     if os.environ.get("BENCH_PARITY", "1") == "1":
         try:
             parity_ms, _, _, parity_res, parity_setup, _ = bench_ours(
@@ -770,6 +764,20 @@ def main():
                 "ladder": ladder,
             }
             print(json.dumps(out), flush=True)
+
+    # phase breakdown (stderr): per-op times + CG iteration counts +
+    # device-allocation report; diagnostics only, after every headline.
+    if os.environ.get("BENCH_NO_PROFILE") != "1":
+        try:
+            profile()
+        except Exception as e:  # pragma: no cover - keep the metric alive
+            print(f"profile phase skipped ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
+    # the full ladder is already printed; re-emit it LAST so the driver's
+    # last-json-line parse always sees the complete ladder even though the
+    # profile wrote diagnostics in between
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
